@@ -1,0 +1,209 @@
+"""Command-line experiment driver (L4, mirrors ref: run.py:38-158).
+
+Flag names, defaults, and dataset-path conventions match the reference
+argparse surface one-to-one so existing run.sh sweeps port directly; extra
+TPU-native flags are grouped at the end and all have safe defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Dict
+
+from d2r_tpu.config import D2RConfig
+
+logging.basicConfig(
+    format="%(asctime)s - %(levelname)s - %(name)s -   %(message)s",
+    datefmt="%m/%d/%Y %H:%M:%S",
+    level=logging.INFO,
+)
+logger = logging.getLogger(__name__)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # --- reference flags (ref: run.py:40-82) ---
+    p.add_argument("--bert_name", default="bert-base-uncased", type=str)
+    p.add_argument("--vit_name", default="clip-vit-base-patch32", type=str)
+    p.add_argument("--num_epochs", default=30, type=int)
+    p.add_argument("--device", default="tpu", type=str)
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--lr", default=3e-5, type=float)
+    p.add_argument("--warmup_ratio", default=0.01, type=float)
+    p.add_argument("--eval_begin_epoch", default=1, type=int)
+    p.add_argument("--seed", default=2023, type=int)
+    p.add_argument("--load_path", default=None, type=str)
+    p.add_argument("--save_path", default="./output/", type=str)
+    p.add_argument("--write_path", default=None, type=str)
+    p.add_argument("--notes", default="", type=str)
+    p.add_argument("--do_train", action="store_true", default=True)
+    p.add_argument("--only_test", action="store_true")
+    p.add_argument("--max_seq", default=128, type=int)
+    p.add_argument("--ignore_idx", default=0, type=int)
+    p.add_argument("--sample_ratio", default=1.0, type=float)
+    p.add_argument("--alpha", default=0.0, type=float, help="CCR")
+    p.add_argument("--margin", default=0.1, type=float, help="CCR")
+    p.add_argument("--beta", default=0.1, type=float)
+    p.add_argument("--mild_margin", default=0.7, type=float)
+    p.add_argument("--hetero", default=0.9, type=float)
+    p.add_argument("--homo", default=0.9, type=float)
+    p.add_argument("--DR_step", default=3, type=int)
+    p.add_argument("--weight_js_1", default=0.1, type=float)
+    p.add_argument("--weight_js_2", default=0.1, type=float)
+    p.add_argument("--weight_diff", default=0.1, type=float)
+    p.add_argument("--embed_size", default=768, type=int)
+    p.add_argument("--num_head_IMRC", default=16, type=int)
+    p.add_argument("--hid_IMRC", default=768, type=int)
+    p.add_argument("--raw_feature_norm_CMRC", default="clipped_l2norm")
+    p.add_argument("--lambda_softmax_CMRC", default=4.0, type=float)
+    p.add_argument("--hid_router", default=768, type=int)
+    # --- dataset locations (hardcoded dicts in ref: run.py:86-105) ---
+    p.add_argument("--dataset", default="mvsa-single",
+                   choices=["mvsa-single", "mvsa-multiple", "hfm", "custom"])
+    p.add_argument("--data_dir", default="data", type=str)
+    p.add_argument("--train_json", default=None, type=str)
+    p.add_argument("--dev_json", default=None, type=str)
+    p.add_argument("--test_json", default=None, type=str)
+    p.add_argument("--img_dir", default=None, type=str)
+    # --- TPU-native flags ---
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--mesh_data", default=-1, type=int,
+                   help="data-parallel axis size (-1 = all devices)")
+    p.add_argument("--mesh_model", default=1, type=int,
+                   help="tensor-parallel axis size")
+    p.add_argument("--num_workers", default=16, type=int)
+    p.add_argument("--pretrained_dir", default=None, type=str,
+                   help="dir with bert/ and clip/ torch state dicts to convert")
+    p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--profile_dir", default=None, type=str)
+    p.add_argument("--cleanup_output", action="store_true",
+                   help="reference behaviour: delete save_path after test")
+    return p
+
+
+def dataset_paths(args) -> Dict[str, str]:
+    """Reference path conventions (ref: run.py:86-105)."""
+    if args.train_json:
+        return {"train": args.train_json, "dev": args.dev_json,
+                "test": args.test_json, "img": args.img_dir}
+    d = args.data_dir
+    if args.dataset == "mvsa-single":
+        base = os.path.join(d, "MVSA-single", "10-flod-1")
+        img = os.path.join(d, "MVSA-single", "MVSA_Single", "data")
+    elif args.dataset == "mvsa-multiple":
+        base = os.path.join(d, "MVSA-multiple", "10-flod-1")
+        img = os.path.join(d, "MVSA-multiple", "MVSA", "data")
+    else:  # hfm
+        base = os.path.join(d, "HFM")
+        img = os.path.join(d, "HFM", "dataset_image")
+    dev = "valid.json" if args.dataset == "hfm" else "dev.json"
+    return {"train": os.path.join(base, "train.json"),
+            "dev": os.path.join(base, dev),
+            "test": os.path.join(base, "test.json"),
+            "img": img}
+
+
+def config_from_args(args) -> D2RConfig:
+    mesh_shape = (args.mesh_data,) if args.mesh_model == 1 else (
+        args.mesh_data, args.mesh_model)
+    axis_names = ("data",) if args.mesh_model == 1 else ("data", "model")
+    return D2RConfig(
+        bert_name=args.bert_name, vit_name=args.vit_name,
+        num_epochs=args.num_epochs, device=args.device,
+        batch_size=args.batch_size, lr=args.lr,
+        warmup_ratio=args.warmup_ratio, eval_begin_epoch=args.eval_begin_epoch,
+        seed=args.seed, load_path=args.load_path, save_path=args.save_path,
+        write_path=args.write_path, notes=args.notes, do_train=args.do_train,
+        only_test=args.only_test, max_seq=args.max_seq,
+        ignore_idx=args.ignore_idx, sample_ratio=args.sample_ratio,
+        alpha=args.alpha, margin=args.margin, beta=args.beta,
+        mild_margin=args.mild_margin, hetero=args.hetero, homo=args.homo,
+        DR_step=args.DR_step, weight_js_1=args.weight_js_1,
+        weight_js_2=args.weight_js_2, weight_diff=args.weight_diff,
+        embed_size=args.embed_size, num_head_IMRC=args.num_head_IMRC,
+        hid_IMRC=args.hid_IMRC,
+        raw_feature_norm_CMRC=args.raw_feature_norm_CMRC,
+        lambda_softmax_CMRC=args.lambda_softmax_CMRC,
+        hid_router=args.hid_router,
+        compute_dtype=args.compute_dtype,
+        use_pallas=not args.no_pallas, remat=args.remat,
+        mesh_shape=mesh_shape, mesh_axis_names=axis_names,
+        debug_nans=args.debug_nans, profile_dir=args.profile_dir,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_arg_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    logger.info(args)
+
+    # honour --device (ref: run.py:44) — on this stack the TPU plugin
+    # overrides JAX_PLATFORMS, so set the config flag explicitly.
+    if args.device in ("cpu", "tpu"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", args.device)
+        except Exception:
+            pass
+
+    # deterministic seeding (ref: run.py:29-35): JAX threads PRNG keys
+    # explicitly, so cfg.seed fully determines init + dropout + shuffling.
+    import numpy as np
+    np.random.seed(cfg.seed)
+
+    if cfg.save_path is not None:
+        os.makedirs(cfg.save_path, exist_ok=True)
+
+    paths = dataset_paths(args)
+    from d2r_tpu.data.dataset import DataLoader, MSDDataset, MSDProcessor
+    from d2r_tpu.models.unimo import D2RClassifier
+    from d2r_tpu.train.trainer import Trainer
+
+    processor = MSDProcessor(
+        {k: paths[k] for k in ("train", "dev", "test")}, cfg.bert_name,
+        vocab_size=cfg.text_config().vocab_size)
+    vc = cfg.vision_config()
+    mk = lambda mode: MSDDataset(
+        processor, paths["img"], max_seq=cfg.max_seq, mode=mode,
+        image_size=vc.image_size, num_vision_tokens=vc.num_tokens,
+        sample_ratio=cfg.sample_ratio if mode == "train" else 1.0)
+    train_loader = DataLoader(mk("train"), cfg.batch_size, shuffle=True,
+                              num_workers=args.num_workers, seed=cfg.seed)
+    dev_loader = DataLoader(mk("dev"), cfg.batch_size, shuffle=False,
+                            num_workers=max(args.num_workers // 2, 1))
+    test_loader = DataLoader(mk("test"), cfg.batch_size, shuffle=False,
+                             num_workers=max(args.num_workers // 2, 1))
+
+    model = D2RClassifier(cfg)
+    trainer = Trainer(train_data=train_loader, dev_data=dev_loader,
+                      test_data=test_loader, model=model, cfg=cfg,
+                      logger=logger, cleanup_output=args.cleanup_output)
+
+    pretrained = None
+    if args.pretrained_dir:
+        from d2r_tpu.utils.weights import load_pretrained_params
+        first = next(iter(train_loader))
+        trainer.init_state(first)
+        pretrained = load_pretrained_params(
+            args.pretrained_dir, cfg, trainer.state.params)
+        trainer.state = trainer.state.replace(params=pretrained)
+
+    if cfg.only_test:
+        first = next(iter(test_loader))
+        if trainer.state is None:
+            trainer.init_state(first)
+        if cfg.load_path:
+            from d2r_tpu.train.checkpoint import restore_checkpoint
+            trainer.state = restore_checkpoint(cfg.load_path, trainer.state)
+        trainer.test(0)
+    elif cfg.do_train:
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Configuration system for d2r_tpu.
+
+A typed, immutable replacement for the reference's single argparse namespace
+threaded through every module (ref: run.py:39-84). Flag names and defaults
+mirror the reference CLI exactly so `python run.py --lr ... --DR_step ...`
+stays drop-in compatible (ref: run.py:40-82), while encoder hyper-parameters
+are pinned locally instead of being fetched from the HuggingFace hub at
+construction time (the reference calls `BertConfig.from_pretrained` /
+`CLIPConfig.from_pretrained` inside every cell, ref: models/Cells.py:136-139).
+
+TPU-specific knobs (mesh axes, compute dtype, remat, pallas toggles) have no
+reference equivalent; they are grouped at the bottom of :class:`D2RConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    """BERT-family text tower config.
+
+    Defaults pin ``bert-base-uncased`` (the reference default,
+    ref: run.py:40) so no hub access is needed.
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionEncoderConfig:
+    """CLIP-ViT vision tower config.
+
+    Defaults pin ``openai/clip-vit-base-patch32`` (ref: run.py:42).
+    224/32 -> 49 patches + CLS = 50 vision tokens
+    (ref: models/modeling_unimo.py:105-107).
+    """
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "quick_gelu"
+    image_size: int = 224
+    patch_size: int = 32
+    num_channels: int = 3
+    layer_norm_eps: float = 1e-5
+    attention_dropout: float = 0.0
+    dropout: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_patches + 1
+
+
+def bert_base_config() -> TextEncoderConfig:
+    return TextEncoderConfig()
+
+
+def roberta_large_config() -> TextEncoderConfig:
+    """Scaled text tower (BASELINE config 4)."""
+    return TextEncoderConfig(
+        vocab_size=50265,
+        hidden_size=1024,
+        num_hidden_layers=24,
+        num_attention_heads=16,
+        intermediate_size=4096,
+        max_position_embeddings=514,
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+    )
+
+
+def clip_vit_b32_config() -> VisionEncoderConfig:
+    return VisionEncoderConfig()
+
+
+def clip_vit_l14_config() -> VisionEncoderConfig:
+    """Scaled vision tower (BASELINE config 4)."""
+    return VisionEncoderConfig(
+        hidden_size=1024,
+        num_hidden_layers=24,
+        num_attention_heads=16,
+        intermediate_size=4096,
+        patch_size=14,
+    )
+
+
+_TEXT_PRESETS = {
+    "bert-base-uncased": bert_base_config,
+    "roberta-large": roberta_large_config,
+}
+_VISION_PRESETS = {
+    "clip-vit-base-patch32": clip_vit_b32_config,
+    "openai/clip-vit-base-patch32": clip_vit_b32_config,
+    "clip-vit-large-patch14": clip_vit_l14_config,
+    "openai/clip-vit-large-patch14": clip_vit_l14_config,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class D2RConfig:
+    """Full experiment config.
+
+    Field names mirror the reference argparse flags one-to-one
+    (ref: run.py:40-82); extra TPU-native knobs are grouped at the end.
+    """
+
+    # --- pretrained names (ref: run.py:40-42) ---
+    bert_name: str = "bert-base-uncased"
+    vit_name: str = "clip-vit-base-patch32"
+
+    # --- training (ref: run.py:43-60) ---
+    num_epochs: int = 30
+    device: str = "tpu"
+    batch_size: int = 32
+    lr: float = 3e-5
+    warmup_ratio: float = 0.01
+    eval_begin_epoch: int = 1
+    seed: int = 2023
+    load_path: Optional[str] = None
+    save_path: Optional[str] = "./output/"
+    write_path: Optional[str] = None
+    notes: str = ""
+    do_train: bool = True
+    only_test: bool = False
+    max_seq: int = 128
+    ignore_idx: int = 0
+    sample_ratio: float = 1.0
+
+    # --- CCR contrastive (latent; alpha=0 disables, ref: run.py:62-63) ---
+    alpha: float = 0.0
+    margin: float = 0.1
+
+    # --- SoftContrastiveLoss (dead in reference live path, ref: run.py:65-68) ---
+    beta: float = 0.1
+    mild_margin: float = 0.7
+    hetero: float = 0.9
+    homo: float = 0.9
+
+    # --- dynamic routing (ref: run.py:70-73) ---
+    DR_step: int = 3
+    weight_js_1: float = 0.1
+    weight_js_2: float = 0.1
+    weight_diff: float = 0.1
+
+    # --- model dims (ref: run.py:75-82) ---
+    embed_size: int = 768
+    num_head_IMRC: int = 16
+    hid_IMRC: int = 768
+    raw_feature_norm_CMRC: str = "clipped_l2norm"
+    lambda_softmax_CMRC: float = 4.0
+    hid_router: int = 768
+
+    # --- hidden constants of the reference (SURVEY.md section 5.6) ---
+    num_cells: int = 6          # ref: modeling_unimo.py:781-782
+    path_hid: int = 128         # ref: modeling_unimo.py:781-782
+    num_classes: int = 3        # ref: models/unimo_model.py:145
+    fc_lr: float = 5e-2         # ref: modules/train.py:315
+    weight_decay: float = 1e-2  # ref: modules/train.py:291
+    router_bias_init: float = 1.5      # ref: models/Router.py:20
+    routing_threshold: float = 1e-4    # ref: models/DynamicInteraction.py:24
+    cma_temperature: float = 100.0     # ref: models/XModules.py:309
+
+    # --- TPU-native additions (no reference equivalent) ---
+    compute_dtype: str = "float32"      # "bfloat16" for MXU throughput
+    use_pallas: bool = True             # pallas fused attention on TPU
+    remat: bool = False                 # jax.checkpoint over encoder layers
+    mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    log_steps: int = 2                  # ref: refresh_step, modules/train.py:64
+    debug_nans: bool = False
+    profile_dir: Optional[str] = None
+
+    def text_config(self) -> TextEncoderConfig:
+        key = self.bert_name.split("/")[-1]
+        factory = _TEXT_PRESETS.get(key) or _TEXT_PRESETS.get(self.bert_name)
+        if factory is None:
+            factory = bert_base_config
+        return factory()
+
+    def vision_config(self) -> VisionEncoderConfig:
+        key = self.vit_name.split("/")[-1]
+        factory = _VISION_PRESETS.get(key) or _VISION_PRESETS.get(self.vit_name)
+        if factory is None:
+            factory = clip_vit_b32_config
+        return factory()
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    def replace(self, **kw) -> "D2RConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_config(**overrides) -> D2RConfig:
+    """A miniature config for CPU unit tests: 2-layer towers, dim 64."""
+    defaults = dict(
+        bert_name="tiny-bert",
+        vit_name="tiny-vit",
+        batch_size=4,
+        max_seq=16,
+        embed_size=64,
+        num_head_IMRC=4,
+        hid_IMRC=64,
+        hid_router=32,
+        DR_step=3,
+        compute_dtype="float32",
+        use_pallas=False,
+    )
+    defaults.update(overrides)
+    return D2RConfig(**defaults)
+
+
+_TEXT_PRESETS["tiny-bert"] = lambda: TextEncoderConfig(
+    vocab_size=128,
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    max_position_embeddings=64,
+)
+_VISION_PRESETS["tiny-vit"] = lambda: VisionEncoderConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    image_size=32,
+    patch_size=16,
+)

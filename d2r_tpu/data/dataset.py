@@ -1,0 +1,271 @@
+"""Host-side data pipeline (L1 of the reference layer map, SURVEY.md section 1).
+
+Mirrors MSDProcessor/MSDDataset semantics (ref: processor/dataset.py:17-103):
+JSON split files with ``{id, text, emotion_label}`` records, image file
+``id + '.jpg'``, BERT tokenisation truncated to max_seq-2 then wrapped in
+[CLS]/[SEP] and zero-padded, CLIP image preprocessing with the corrupt-image
+fallback, and the vestigial ``img_mask`` field (emitted then dropped by the
+trainer, ref: processor/dataset.py:99 / modules/train.py:281) kept for API
+parity.
+
+TPU-native differences (intentional):
+  * static shapes only — text pads to ``max_seq`` and the FINAL PARTIAL batch
+    pads by wrapping around to the start of the epoch with a ``valid`` mask,
+    so XLA compiles exactly one step graph (the reference feeds a ragged last
+    batch, ref: run.py:131-140). Metrics count only valid rows.
+  * decoding runs in a thread pool with batch-ahead prefetch instead of
+    forked torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+import os
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from d2r_tpu.data.image import load_image
+from d2r_tpu.data.tokenizer import load_tokenizer
+
+
+class MSDProcessor:
+    """Split-file loader + tokenizer owner (ref: processor/dataset.py:17-47)."""
+
+    def __init__(self, data_path: Dict[str, str], bert_name: str,
+                 vocab_size: int = 30522):
+        self.data_path = data_path
+        self.tokenizer = load_tokenizer(bert_name, vocab_size=vocab_size)
+
+    def load_from_file(self, mode: str = "train") -> Dict[str, list]:
+        with open(self.data_path[mode], encoding="utf-8") as f:
+            records = json.load(f)
+        texts, labels, imgs = [], [], []
+        for sample in records:
+            texts.append(sample["text"])
+            labels.append(int(sample["emotion_label"]))
+            imgs.append(str(sample["id"]) + ".jpg")
+        assert len(texts) == len(labels) == len(imgs)
+        return {"texts": texts, "labels": labels, "imgs": imgs}
+
+
+class MSDDataset:
+    """Per-item transform (ref: processor/dataset.py:50-103)."""
+
+    def __init__(
+        self,
+        processor: MSDProcessor,
+        img_path: Optional[str],
+        max_seq: int = 128,
+        mode: str = "train",
+        image_size: int = 224,
+        num_vision_tokens: int = 50,
+        sample_ratio: float = 1.0,
+        fallback_image: str = "inf.png",
+    ):
+        self.processor = processor
+        self.tokenizer = processor.tokenizer
+        self.img_path = img_path
+        self.max_seq = max_seq
+        self.image_size = image_size
+        self.num_vision_tokens = num_vision_tokens
+        self.data = processor.load_from_file(mode)
+        if sample_ratio < 1.0:  # low-resource subsetting (ref: run.py:60)
+            n = max(1, int(len(self.data["texts"]) * sample_ratio))
+            self.data = {k: v[:n] for k, v in self.data.items()}
+        self.fallback = (
+            os.path.join(img_path, fallback_image) if img_path else None)
+
+    def __len__(self) -> int:
+        return len(self.data["texts"])
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        text = self.data["texts"][idx]
+        label = self.data["labels"][idx]
+        img = self.data["imgs"][idx]
+
+        tokens = self.tokenizer.tokenize(text)
+        if len(tokens) > self.max_seq - 2:
+            tokens = tokens[: self.max_seq - 2]
+        ids = ([self.tokenizer.cls_token_id]
+               + self.tokenizer.convert_tokens_to_ids(tokens)
+               + [self.tokenizer.sep_token_id])
+        n = len(ids)
+        input_ids = np.zeros(self.max_seq, np.int32)
+        input_ids[:n] = ids
+        attention_mask = np.zeros(self.max_seq, np.int32)
+        attention_mask[:n] = 1
+        token_type_ids = np.zeros(self.max_seq, np.int32)
+
+        if self.img_path is not None:
+            pixel_values = load_image(
+                os.path.join(self.img_path, img),
+                image_size=self.image_size,
+                fallback_path=self.fallback)
+        else:
+            pixel_values = np.zeros((3, self.image_size, self.image_size), np.float32)
+
+        return {
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "token_type_ids": token_type_ids,
+            # vestigial but kept for API parity (ref: processor/dataset.py:99)
+            "img_mask": np.ones(self.num_vision_tokens, np.int32),
+            "labels": np.int32(label),
+            "pixel_values": pixel_values.astype(np.float32),
+        }
+
+
+class DataLoader:
+    """Batched iterator with threaded decode + one-batch-ahead prefetch.
+
+    Yields dicts of stacked numpy arrays with a ``valid`` mask; the final
+    partial batch wraps around so every batch has identical static shape.
+    """
+
+    def __init__(
+        self,
+        dataset: MSDDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        seed: int = 2023,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start: start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    break
+                pad = order[: self.batch_size - len(idx)]  # wrap-around pad
+                valid = np.concatenate([np.ones(len(idx), bool),
+                                        np.zeros(len(pad), bool)])
+                idx = np.concatenate([idx, pad])
+            else:
+                valid = np.ones(self.batch_size, bool)
+            batches.append((idx, valid))
+        return batches
+
+    PREFETCH_BATCHES = 2
+
+    @staticmethod
+    def _collate(item_futs, valid: np.ndarray) -> Dict[str, np.ndarray]:
+        items = [f.result() for f in item_futs]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch["valid"] = valid
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        self._epoch += 1
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            # item-level futures with a fixed batch-ahead window; workers only
+            # ever run __getitem__, so no nested-pool deadlock is possible
+            window: list = []
+            it = iter(batches)
+            def submit_next():
+                try:
+                    idx, valid = next(it)
+                except StopIteration:
+                    return False
+                window.append(([pool.submit(self.dataset.__getitem__, int(i))
+                                for i in idx], valid))
+                return True
+
+            for _ in range(self.PREFETCH_BATCHES):
+                submit_next()
+            while window:
+                futs, valid = window.pop(0)
+                submit_next()
+                yield self._collate(futs, valid)
+
+
+def synthetic_batch(
+    batch_size: int,
+    max_seq: int,
+    image_size: int,
+    num_classes: int = 3,
+    vocab_size: int = 30522,
+    num_vision_tokens: int = 50,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Deterministic fake batch for tests and benchmarks (no files needed)."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(4, max_seq + 1, size=batch_size)
+    input_ids = rng.integers(5, vocab_size, size=(batch_size, max_seq)).astype(np.int32)
+    attention_mask = (np.arange(max_seq)[None, :] < lengths[:, None]).astype(np.int32)
+    input_ids *= attention_mask
+    input_ids[:, 0] = 2  # [CLS]
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "token_type_ids": np.zeros((batch_size, max_seq), np.int32),
+        "img_mask": np.ones((batch_size, num_vision_tokens), np.int32),
+        "labels": rng.integers(0, num_classes, size=batch_size).astype(np.int32),
+        "pixel_values": rng.normal(size=(batch_size, 3, image_size, image_size)
+                                   ).astype(np.float32),
+        "valid": np.ones(batch_size, bool),
+    }
+
+
+def write_fake_dataset(root: str, n: int = 8, image_size: int = 32,
+                       seed: int = 0, corrupt_every: int = 0) -> Dict[str, str]:
+    """Write a small on-disk dataset (JSON + JPEGs) for end-to-end tests.
+
+    ``corrupt_every > 0`` writes every k-th image as garbage bytes to
+    exercise the inf.png fallback path (ref: processor/dataset.py:94-97).
+    Returns the data_path dict expected by MSDProcessor.
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    words = ["happy", "sad", "great", "awful", "sunny", "rain", "love", "hate"]
+    records = []
+    for i in range(n):
+        text = " ".join(rng.choice(words, size=rng.integers(3, 8)))
+        records.append({"id": f"s{i}", "text": text,
+                        "emotion_label": int(rng.integers(0, 3))})
+        path = os.path.join(img_dir, f"s{i}.jpg")
+        if corrupt_every and i % corrupt_every == 0:
+            with open(path, "wb") as f:
+                f.write(b"not an image")
+        else:
+            arr = rng.integers(0, 256, size=(image_size, image_size, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(path)
+    # fallback image (the reference's inf.png)
+    Image.fromarray(np.full((image_size, image_size, 3), 128, np.uint8)).save(
+        os.path.join(img_dir, "inf.png"))
+
+    paths = {}
+    for mode in ("train", "dev", "test"):
+        p = os.path.join(root, f"{mode}.json")
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(records, f)
+        paths[mode] = p
+    paths["img_dir"] = img_dir
+    return paths

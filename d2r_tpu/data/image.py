@@ -1,0 +1,66 @@
+"""Host-side CLIP image preprocessing.
+
+Replaces the reference's per-item ``CLIPProcessor`` call
+(ref: processor/dataset.py:93): resize shortest side to ``image_size``
+(bicubic), center-crop, scale to [0,1], normalise with the CLIP mean/std.
+Keeps the reference's fault handler: ANY exception while decoding falls back
+to a designated fallback image (the reference's ``inf.png``,
+ref: processor/dataset.py:94-97); if even that is missing we synthesise a
+mid-grey frame so the pipeline never stalls on bad data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def _load_pil(path: str):
+    from PIL import Image
+    return Image.open(path).convert("RGB")
+
+
+def preprocess_pil(image, image_size: int = 224) -> np.ndarray:
+    """PIL image -> (3, H, W) float32, CLIP-normalised."""
+    from PIL import Image
+
+    w, h = image.size
+    scale = image_size / min(w, h)
+    new_w, new_h = int(round(w * scale)), int(round(h * scale))
+    image = image.resize((new_w, new_h), resample=Image.BICUBIC)
+    left = (new_w - image_size) // 2
+    top = (new_h - image_size) // 2
+    image = image.crop((left, top, left + image_size, top + image_size))
+
+    arr = np.asarray(image, dtype=np.float32) / 255.0  # (H, W, 3)
+    arr = (arr - CLIP_MEAN) / CLIP_STD
+    return arr.transpose(2, 0, 1)  # channel-first like the reference
+
+
+def gray_fallback(image_size: int = 224) -> np.ndarray:
+    """Synthetic mid-grey frame used when even the fallback file is absent."""
+    arr = np.full((image_size, image_size, 3), 0.5, dtype=np.float32)
+    arr = (arr - CLIP_MEAN) / CLIP_STD
+    return arr.transpose(2, 0, 1)
+
+
+def load_image(
+    path: str,
+    image_size: int = 224,
+    fallback_path: Optional[str] = None,
+) -> np.ndarray:
+    """Decode + preprocess with the reference's bare-except fallback chain."""
+    try:
+        return preprocess_pil(_load_pil(path), image_size)
+    except Exception:
+        if fallback_path is not None and os.path.exists(fallback_path):
+            try:
+                return preprocess_pil(_load_pil(fallback_path), image_size)
+            except Exception:
+                pass
+        return gray_fallback(image_size)

@@ -1,0 +1,143 @@
+"""Flax BERT text tower.
+
+Matches the reference's vendored BERT semantics
+(ref: models/modeling_unimo.py:272-512): post-LN blocks, additive
+(1-mask)*-10000 padding bias, exact-erf GELU, dropout on embeddings /
+attention probs / FFN output. The reference's ``BertIntermediate`` carries an
+extra ``fusion_dense`` Linear that is never used in forward
+(ref: models/modeling_unimo.py:447 vs :453-456) — it exists there only so
+checkpoint key-matching tolerates it; we omit it (behaviour-identical, see
+docs/PARITY.md).
+
+Attention runs through the shared fused kernel (ops/attention.py) instead of
+materialising (B,H,L,S) scores in HBM as torch bmm does.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from d2r_tpu.config import TextEncoderConfig
+from d2r_tpu.models.layers import ACT2FN, TorchLinear
+from d2r_tpu.ops.attention import (
+    dot_product_attention,
+    merge_heads,
+    split_heads,
+)
+
+
+class BertEmbeddings(nn.Module):
+    """word + position + token_type embeddings, LayerNorm, dropout
+    (ref: models/modeling_unimo.py:272-331)."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic: bool = True):
+        c = self.cfg
+        seq_len = input_ids.shape[1]
+        words = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings",
+                         dtype=self.dtype)(input_ids)
+        positions = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                             name="position_embeddings", dtype=self.dtype)(
+            jnp.arange(seq_len, dtype=jnp.int32)[None, :])
+        token_types = nn.Embed(c.type_vocab_size, c.hidden_size,
+                               name="token_type_embeddings", dtype=self.dtype)(token_type_ids)
+        x = words + token_types + positions
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
+        x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x
+
+
+class BertSelfAttention(nn.Module):
+    """(ref: models/modeling_unimo.py:334-401)."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, key_bias, deterministic: bool = True):
+        c = self.cfg
+        q = TorchLinear(c.hidden_size, dtype=self.dtype, name="query")(x)
+        k = TorchLinear(c.hidden_size, dtype=self.dtype, name="key")(x)
+        v = TorchLinear(c.hidden_size, dtype=self.dtype, name="value")(x)
+        rng = None
+        if not deterministic and c.attention_probs_dropout_prob > 0:
+            rng = self.make_rng("dropout")
+        ctx = dot_product_attention(
+            split_heads(q, c.num_attention_heads),
+            split_heads(k, c.num_attention_heads),
+            split_heads(v, c.num_attention_heads),
+            key_bias=key_bias,
+            scale=c.head_dim ** -0.5,
+            dropout_rate=c.attention_probs_dropout_prob,
+            dropout_rng=rng,
+            deterministic=deterministic,
+            use_pallas=self.use_pallas,
+        )
+        return merge_heads(ctx)
+
+
+class BertSelfOutput(nn.Module):
+    """dense -> dropout -> LayerNorm(x + input) (ref: models/modeling_unimo.py:404-415)."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, input_tensor, deterministic: bool = True):
+        c = self.cfg
+        hidden = TorchLinear(c.hidden_size, dtype=self.dtype, name="dense")(hidden)
+        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(hidden + input_tensor)
+
+
+class BertLayer(nn.Module):
+    """Post-LN BERT block (ref: models/modeling_unimo.py:473-512)."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, key_bias=None, deterministic: bool = True):
+        c = self.cfg
+        attn_out = BertSelfAttention(c, self.dtype, self.use_pallas, name="attention_self")(
+            x, key_bias, deterministic)
+        x = BertSelfOutput(c, self.dtype, name="attention_output")(
+            attn_out, x, deterministic)
+
+        # FFN. The reference wraps this in apply_chunking_to_forward with
+        # chunk_size 0 == no chunking (ref: models/modeling_unimo.py:502-504).
+        h = TorchLinear(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        h = ACT2FN[c.hidden_act](h)
+        h = TorchLinear(c.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="output_LayerNorm")(h + x)
+
+
+class BertEncoder(nn.Module):
+    """Stack of num_hidden_layers post-LN blocks (the text half of
+    UnimoEncoder, ref: models/modeling_unimo.py:697-712)."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_bias=None, deterministic: bool = True):
+        block = BertLayer
+        if self.remat:
+            block = nn.remat(BertLayer, static_argnums=(3,))
+        for i in range(self.cfg.num_hidden_layers):
+            x = block(self.cfg, self.dtype, self.use_pallas, name=f"layer_{i}")(
+                x, key_bias, deterministic)
+        return x

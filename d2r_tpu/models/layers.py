@@ -1,0 +1,134 @@
+"""Shared building-block layers.
+
+``TorchLinear`` reproduces torch.nn.Linear's default init
+(kaiming_uniform(a=sqrt(5)) for the kernel, uniform(+-1/sqrt(fan_in)) for the
+bias) so that randomly-initialised routing-fabric parameters start from the
+same distribution family as the reference. Pretrained tower weights are
+converted, so their init never matters.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACT2FN: dict = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+}
+
+
+def _uniform_init(bound: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch.nn.Linear default initialisation.
+
+    Kernel stored as (in, out) — converters from torch transpose.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    bias_init_value: Optional[float] = None  # e.g. Router's 1.5 final bias
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        bound = 1.0 / math.sqrt(in_features)
+        kernel = self.param("kernel", _uniform_init(bound), (in_features, self.features))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        if self.use_bias:
+            if self.bias_init_value is not None:
+                bias = self.param(
+                    "bias",
+                    lambda key, shape, dtype=jnp.float32: jnp.full(
+                        shape, self.bias_init_value, dtype),
+                    (self.features,),
+                )
+            else:
+                bias = self.param("bias", _uniform_init(bound), (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class BertPooler(nn.Module):
+    """Take token 0 -> Linear -> Tanh (ref: models/modeling_unimo.py:515-527).
+
+    Used 7x across the reference model (also redefined verbatim at
+    models/Cells.py:90-102); here it is one shared class.
+    """
+
+    hidden_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
+        first = hidden_states[:, 0]
+        return jnp.tanh(TorchLinear(self.hidden_size, dtype=self.dtype, name="dense")(first))
+
+
+class TorchBatchNorm(nn.Module):
+    """torch.nn.BatchNorm1d semantics over a flattened batch axis.
+
+    Train mode: normalise with biased batch statistics, update running stats
+    with momentum 0.1 using the UNBIASED variance (torch behaviour). Eval
+    mode: use running stats. Needed by AttentionFiltration
+    (ref: models/XModules.py:376,381) — under data parallelism the batch
+    statistics are computed over the *global* batch because the whole step is
+    jitted over sharded arrays and XLA turns these reductions into cross-chip
+    psums, matching single-device math exactly.
+    """
+
+    num_features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    use_running_average: Optional[bool] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        """x: (..., num_features); statistics are over all leading axes."""
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average)
+        scale = self.param("scale", nn.initializers.ones, (self.num_features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.num_features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.num_features,), jnp.float32))
+
+        x32 = x.astype(jnp.float32)
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x32, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                n = 1
+                for a in reduce_axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)

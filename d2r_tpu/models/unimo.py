@@ -1,0 +1,137 @@
+"""The full D2R network: dual-branch encoders + dynamic-routing fusion +
+bilinear-pooled classification head.
+
+``D2RModel`` mirrors UnimoModel (ref: models/modeling_unimo.py:733-894) and
+``D2RClassifier`` mirrors UnimoModelF (ref: models/unimo_model.py:138-162).
+
+Omitted unused-but-constructed reference params (see docs/PARITY.md):
+vision_post_layernorm (ref: :743), the commented-out Mild/Diff/BiAffine/SE
+blocks (ref: :756-775), path_mapping/bn inside the interaction modules
+(ref: models/InteractionModule.py:19-20), and the trailing ``text_pooler``
+(ref: :784) — none touch the forward computation.
+
+Module names keep 'vision'/'text' substrings so the reference's
+substring-based optimiser grouping (ref: modules/train.py:287-322) and
+weight surgery (ref: modules/train.py:92-111) map cleanly onto the flax tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from d2r_tpu.config import D2RConfig
+from d2r_tpu.models.bert import BertEmbeddings, BertEncoder, BertLayer
+from d2r_tpu.models.interaction import InteractionModule
+from d2r_tpu.models.layers import BertPooler
+from d2r_tpu.models.vit import CLIPEncoderLayer, CLIPVisionEmbeddings, CLIPVisionEncoder
+from d2r_tpu.models.xmodules import BlockFusion
+from d2r_tpu.ops.attention import padding_key_bias
+from d2r_tpu.ops.losses import cross_entropy_loss, path_consistency_loss
+
+Array = jnp.ndarray
+
+
+class D2RModel(nn.Module):
+    """UnimoModel equivalent (ref: models/modeling_unimo.py:733-894)."""
+
+    cfg: D2RConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,          # (B, L) int32
+        attention_mask: Array,     # (B, L) 1/0
+        token_type_ids: Array,     # (B, L) int32
+        pixel_values: Array,       # (B, 3, H, W) float
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ) -> Tuple[Array, Array]:
+        c = self.cfg
+        dtype = c.dtype
+        tc = c.text_config()
+        vc = c.vision_config()
+
+        # --- vision pre (ref: :798-799) ---
+        vision_emb = CLIPVisionEmbeddings(vc, dtype, name="vision_embeddings")(pixel_values)
+        vision_emb = nn.LayerNorm(epsilon=vc.layer_norm_eps, dtype=dtype,
+                                  name="vision_pre_layernorm")(vision_emb)
+
+        # --- text pre (ref: :812-816) ---
+        key_bias = padding_key_bias(attention_mask)
+        text_emb = BertEmbeddings(tc, dtype, name="text_embeddings")(
+            input_ids, token_type_ids, deterministic)
+
+        # --- dual towers, sequential and independent (ref: :649-729) ---
+        vision_out = CLIPVisionEncoder(vc, dtype, c.use_pallas, c.remat,
+                                       name="encoder_vision_layers")(
+            vision_emb, deterministic)
+        text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat,
+                               name="encoder_text_layers")(
+            text_emb, key_bias, deterministic)
+
+        # --- one extra self-attention layer per branch (ref: :834-840) ---
+        text_self = BertLayer(tc, dtype, c.use_pallas, name="self_text")(
+            text_out, key_bias, deterministic)
+        text_cls = BertPooler(tc.hidden_size, dtype, name="text_cls_pool")(text_self)
+        vision_self = CLIPEncoderLayer(vc, dtype, c.use_pallas, name="self_vision")(
+            vision_out, deterministic)
+        vision_cls = BertPooler(vc.hidden_size, dtype, name="vision_cls_pool")(vision_self)
+
+        # --- dynamic routing, both branch directions (ref: :842-843).
+        # Both consume the raw tower outputs, NOT the self-attended ones. ---
+        text_stream, sim_paths = InteractionModule(
+            c, reversed_mode=False, dtype=dtype, name="itr_module")(
+            text_out, vision_out, use_running_average)
+        vision_stream, rev_sim_paths = InteractionModule(
+            c, reversed_mode=True, dtype=dtype, name="Reversed_itr_module")(
+            text_out, vision_out, use_running_average)
+
+        # --- CLS Gram matrices + (negative) JS loss (ref: :845-849) ---
+        sim_text = jnp.matmul(text_cls, text_cls.T, preferred_element_type=jnp.float32)
+        sim_vision = jnp.matmul(vision_cls, vision_cls.T, preferred_element_type=jnp.float32)
+        js_loss = path_consistency_loss(
+            sim_paths, sim_text, rev_sim_paths, sim_vision,
+            c.weight_js_1, c.weight_js_2)
+
+        # --- fusion (ref: :871-884). Both poolers use the TEXT config
+        # (ref: :778-779), even the vision-side one. ---
+        text_pooled = BertPooler(tc.hidden_size, dtype, name="text_pool")(text_stream)
+        vision_pooled = BertPooler(tc.hidden_size, dtype, name="vision_pool")(vision_stream)
+        fused = BlockFusion(tc.hidden_size, dtype=dtype, name="block_fusion")(
+            text_pooled, vision_pooled)
+
+        return fused, js_loss
+
+
+class D2RClassifier(nn.Module):
+    """UnimoModelF equivalent: task head + CE loss
+    (ref: models/unimo_model.py:138-162)."""
+
+    cfg: D2RConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,
+        attention_mask: Array,
+        token_type_ids: Array,
+        labels: Array,             # (B,) int
+        pixel_values: Array,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+        valid: Array = None,       # optional row mask for wrap-padded batches
+    ) -> Tuple[Array, Array, Dict[str, Array]]:
+        pooled, js_loss = D2RModel(self.cfg, name="model")(
+            input_ids, attention_mask, token_type_ids, pixel_values,
+            deterministic, use_running_average)
+        # 'fc' is top-level so the reference's startswith('fc') optimiser
+        # group (lr 5e-2, ref: modules/train.py:314-320) maps onto it.
+        from d2r_tpu.models.layers import TorchLinear
+        logits = TorchLinear(self.cfg.num_classes, dtype=self.cfg.dtype,
+                             name="fc")(pooled)
+        ce = cross_entropy_loss(logits, labels, valid)
+        loss = ce + js_loss  # ref: models/unimo_model.py:160
+        return loss, logits, {"ce_loss": ce, "js_loss": js_loss}

@@ -1,0 +1,98 @@
+"""Unified multi-head attention dispatch.
+
+All attention in d2r_tpu flows through :func:`dot_product_attention`:
+BERT self-attention (post-LN, additive padding bias,
+ref: models/modeling_unimo.py:334-401), CLIP-ViT self-attention (pre-LN,
+pre-scaled Q — mathematically the same scaled dot-product,
+ref: models/modeling_unimo.py:159-219), and the IMRC cell's one-layer
+transformer (ref: models/SelfAttention.py:27-42).
+
+Dispatch rules:
+  * TPU + no attention-prob dropout  -> pallas flash kernel (fused VMEM pass)
+  * otherwise (CPU tests, dropout>0) -> XLA einsum path (fp32 softmax)
+Both paths compute identical math; tests assert their agreement.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from d2r_tpu.ops.kernels.flash_attention import flash_attention
+
+
+def _supports_pallas(q: jnp.ndarray) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    d = q.shape[-1]
+    return d % 8 == 0
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, H, L, D) tensors.
+
+    Args:
+      q: queries (B, H, L, D).
+      k, v: keys/values (B, H, S, D).
+      key_bias: optional additive per-key bias (B, S); the reference's
+        (1-mask)*-10000 padding bias collapses to this shape
+        (ref: models/modeling_unimo.py:53-59).
+      scale: score scale; default 1/sqrt(D).
+      dropout_rate: attention-probability dropout
+        (ref: models/modeling_unimo.py:388, torch semantics: applied to the
+        post-softmax probabilities, scaled by 1/(1-p)).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    apply_dropout = dropout_rate > 0.0 and not deterministic
+    if use_pallas and not apply_dropout and _supports_pallas(q):
+        return flash_attention(q, k, v, key_bias, scale)
+
+    s = jnp.einsum("bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if key_bias is not None:
+        s = s + key_bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    if apply_dropout:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when dropout is active")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhls,bhsd->bhld", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, L, H*D) -> (B, H, L, D)."""
+    b, l, hd = x.shape
+    return x.reshape(b, l, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, L, D) -> (B, L, H*D)."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def padding_key_bias(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """1/0 padding mask (B, S) -> additive bias (B, S).
+
+    Mirrors get_extended_attention_mask: cast to int then (1-m)*-10000
+    (ref: models/modeling_unimo.py:58-59).
+    """
+    m = attention_mask.astype(jnp.int32).astype(jnp.float32)
+    return (1.0 - m) * -10000.0

@@ -1,0 +1,119 @@
+"""Device mesh + sharding setup.
+
+The reference is single-process single-GPU (SURVEY.md section 2.9); the
+TPU-native equivalent is SPMD over a ``jax.sharding.Mesh``:
+
+  * ``data`` axis — batch sharding (DP). Gradients are reduced by the
+    compiler's psum under jit; the batch-global Gram matrices of the JS loss
+    and the BatchNorm statistics stay exact because the whole step is jitted
+    over globally-sharded arrays (XLA inserts all-gathers over ICI for the
+    (B, ~100) path signatures — cheap, SURVEY.md section 5.8).
+  * ``model`` axis — optional tensor parallelism for the scaled encoder
+    configs (RoBERTa-large/ViT-L, BASELINE config 4): attention heads and MLP
+    hidden dims are sharded via parameter PartitionSpecs; XLA GSPMD inserts
+    the reduce-scatters.
+
+Single-chip (the bench target) is the degenerate (1,)-mesh; all code paths
+are identical.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    mesh_shape: Sequence[int] = (-1,),
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Build a mesh; a single -1 dim absorbs all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(devices) // known
+    n = int(np.prod(shape))
+    grid = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(grid, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# --- parameter partitioning rules for the optional model axis -------------
+# Matched in order against '/'-joined flax param paths. Only the large
+# encoder matmuls are sharded; routers/cells/poolers stay replicated (they
+# are small and batch-bound).
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention projections: shard output features (heads)
+    (r"(query|key|value|q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
+    (r"(query|key|value|q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
+    # attention output projection: shard input features
+    (r"(attention_output/dense|out_proj)/kernel$", P(MODEL_AXIS, None)),
+    # MLP up-projection: shard hidden
+    (r"(intermediate_dense|mlp_fc1)/kernel$", P(None, MODEL_AXIS)),
+    (r"(intermediate_dense|mlp_fc1)/bias$", P(MODEL_AXIS)),
+    # MLP down-projection: shard input
+    (r"(output_dense|mlp_fc2)/kernel$", P(MODEL_AXIS, None)),
+    # embeddings: shard vocab rows (gathered on use)
+    (r"word_embeddings/embedding$", P(MODEL_AXIS, None)),
+)
+
+
+def param_partition_spec(path: str, has_model_axis: bool) -> P:
+    if has_model_axis:
+        for pattern, spec in _PARAM_RULES:
+            if re.search(pattern, path):
+                return spec
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def make_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree matching ``params``."""
+    has_model = MODEL_AXIS in mesh.axis_names and mesh.shape.get(MODEL_AXIS, 1) > 1
+
+    def to_sharding(key_path, leaf):
+        spec = param_partition_spec(_path_str(key_path), has_model)
+        if len(spec) > leaf.ndim:
+            spec = P()
+        # avoid uneven shards: fall back to replication when indivisible
+        for axis_name, dim in zip(spec, leaf.shape):
+            if axis_name is not None and dim % mesh.shape[axis_name] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, sharded over the data axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,60 @@
+"""Orbax checkpointing.
+
+The reference saves only the dev-best model state_dict and reloads it for
+test (ref: modules/train.py:210-216,226-229); "resume" restarts the LR
+schedule because optimiser state is never saved. We keep the same
+best-on-dev-F1 policy and --load_path-compatible flag, but save params +
+batch_stats (+ optionally the full optimiser state — a strict superset,
+SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(path: str, state, include_opt_state: bool = False) -> None:
+    """Save model state under ``path`` (a directory)."""
+    payload: Dict[str, Any] = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+    }
+    if include_opt_state:
+        payload["opt_state"] = state.opt_state
+        payload["step"] = state.step
+    path = _abs(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+
+
+def restore_checkpoint(path: str, state):
+    """Restore params/batch_stats (and opt_state if present) into ``state``."""
+    path = _abs(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        template: Dict[str, Any] = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+        try:
+            restored = ckptr.restore(path, template | {
+                "opt_state": state.opt_state, "step": state.step})
+            return state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=restored["step"],
+            )
+        except Exception:
+            restored = ckptr.restore(path, template)
+            return state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+            )

@@ -1,0 +1,93 @@
+"""Train state + jitted step functions.
+
+The reference's epoch/step loop (ref: modules/train.py:117-128) does
+forward -> backward -> AdamW step -> LR step -> zero_grad eagerly per batch;
+here the entire step (loss, grads, optimiser update, BatchNorm stat update)
+is ONE jitted XLA program with donated state, so a training step is a single
+device launch. Under a data mesh the same program runs SPMD: batch sharded on
+'data', params replicated (or model-sharded via parallel/mesh.py rules),
+gradient psums and the Gram-matrix all-gathers inserted by the compiler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.training import train_state
+
+from d2r_tpu.config import D2RConfig
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+BATCH_KEYS = ("input_ids", "attention_mask", "token_type_ids", "labels",
+              "pixel_values")
+
+
+def _model_inputs(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    inputs = {k: batch[k] for k in BATCH_KEYS}
+    if "valid" in batch:
+        inputs["valid"] = batch["valid"]
+    return inputs
+
+
+def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch) -> TrainState:
+    variables = jax.jit(functools.partial(model.init))(
+        rng, **_model_inputs(sample_batch))
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
+def make_train_step(model):
+    """Returns a jittable (state, batch, rng) -> (state, metrics) step."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, dropout_rng):
+        step_rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            (loss, logits, aux), mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                **_model_inputs(batch),
+                deterministic=False,
+                use_running_average=False,
+                rngs={"dropout": step_rng},
+                mutable=["batch_stats"],
+            )
+            return loss, (logits, aux, mutated)
+
+        (loss, (logits, aux, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=mutated["batch_stats"])
+        metrics = {"loss": loss, **aux}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Deterministic forward returning (loss, logits); BatchNorm uses running
+    stats (torch model.eval() semantics, ref: modules/train.py:162,170)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        loss, logits, aux = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            **_model_inputs(batch),
+            deterministic=True,
+            use_running_average=True,
+        )
+        return {"loss": loss, "logits": logits, **aux}
+
+    return eval_step

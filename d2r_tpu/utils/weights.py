@@ -1,0 +1,165 @@
+"""Pretrained-weight conversion: HF torch state dicts -> flax param trees.
+
+Replaces the reference's substring key surgery (renaming 'vision_'/'text_'
+prefixes and asserting 100% key coverage, ref: modules/train.py:92-111).
+Here the mapping is explicit and the coverage assertion is kept: every
+source key must be either converted or on the known-unused list. The
+reference even instantiates dummy modules (vision_post_layernorm at
+ref: modeling_unimo.py:743, text_pooler at :784) purely so its coverage
+assert passes — we instead whitelist those keys.
+
+Inputs are torch ``state_dict``s loaded from local files (``bert.pt`` /
+``clip_vit.pt`` saved via ``torch.save(model.state_dict(), ...)``) or local
+HF checkpoint dirs; no hub access is ever attempted.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Set, Tuple
+
+import numpy as np
+
+# Keys in the source dicts that the live model never consumes.
+_CLIP_UNUSED_PREFIXES = ("post_layernorm.",)
+_BERT_UNUSED_PREFIXES = ("pooler.",)
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _set_in(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray,
+            template: Dict[str, Any]) -> None:
+    node, tnode = tree, template
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+        tnode = tnode[p]
+    expect = np.asarray(tnode[path[-1]])
+    if expect.shape != value.shape:
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                         f"{value.shape} vs template {expect.shape}")
+    node[path[-1]] = value.astype(expect.dtype)
+
+
+def _linear(dst: Tuple[str, ...], src: str):
+    """torch Linear (out,in) -> flax kernel (in,out)."""
+    return [
+        (dst + ("kernel",), src + ".weight", lambda w: _np(w).T),
+        (dst + ("bias",), src + ".bias", _np),
+    ]
+
+
+def _layernorm(dst: Tuple[str, ...], src: str):
+    return [
+        (dst + ("scale",), src + ".weight", _np),
+        (dst + ("bias",), src + ".bias", _np),
+    ]
+
+
+def bert_mapping(num_layers: int):
+    """HF BertModel.state_dict() -> our text-tower subtree."""
+    m = []
+    emb = ("text_embeddings",)
+    m += [
+        (emb + ("word_embeddings", "embedding"), "embeddings.word_embeddings.weight", _np),
+        (emb + ("position_embeddings", "embedding"), "embeddings.position_embeddings.weight", _np),
+        (emb + ("token_type_embeddings", "embedding"), "embeddings.token_type_embeddings.weight", _np),
+    ]
+    m += _layernorm(emb + ("LayerNorm",), "embeddings.LayerNorm")
+    for i in range(num_layers):
+        dst = ("encoder_text_layers", f"layer_{i}")
+        src = f"encoder.layer.{i}"
+        m += _linear(dst + ("attention_self", "query"), src + ".attention.self.query")
+        m += _linear(dst + ("attention_self", "key"), src + ".attention.self.key")
+        m += _linear(dst + ("attention_self", "value"), src + ".attention.self.value")
+        m += _linear(dst + ("attention_output", "dense"), src + ".attention.output.dense")
+        m += _layernorm(dst + ("attention_output", "LayerNorm"),
+                        src + ".attention.output.LayerNorm")
+        m += _linear(dst + ("intermediate_dense",), src + ".intermediate.dense")
+        m += _linear(dst + ("output_dense",), src + ".output.dense")
+        m += _layernorm(dst + ("output_LayerNorm",), src + ".output.LayerNorm")
+    return m
+
+
+def clip_vision_mapping(num_layers: int):
+    """HF CLIPModel.vision_model.state_dict() -> our vision-tower subtree."""
+    m = [
+        (("vision_embeddings", "class_embedding"), "embeddings.class_embedding", _np),
+        (("vision_embeddings", "patch_embedding", "kernel"),
+         "embeddings.patch_embedding.weight",
+         # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+         lambda w: _np(w).transpose(2, 3, 1, 0)),
+        (("vision_embeddings", "position_embedding", "embedding"),
+         "embeddings.position_embedding.weight", _np),
+    ]
+    # HF spells it 'pre_layrnorm'
+    m += _layernorm(("vision_pre_layernorm",), "pre_layrnorm")
+    for i in range(num_layers):
+        dst = ("encoder_vision_layers", f"layer_{i}")
+        src = f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            m += _linear(dst + ("self_attn", proj), f"{src}.self_attn.{proj}")
+        m += _layernorm(dst + ("layer_norm1",), src + ".layer_norm1")
+        m += _layernorm(dst + ("layer_norm2",), src + ".layer_norm2")
+        m += _linear(dst + ("mlp_fc1",), src + ".mlp.fc1")
+        m += _linear(dst + ("mlp_fc2",), src + ".mlp.fc2")
+    return m
+
+
+def _apply_mapping(model_tree: Dict[str, Any], template: Dict[str, Any],
+                   mapping, sd: Dict[str, Any], unused_prefixes) -> Set[str]:
+    consumed: Set[str] = set()
+    for dst, src, fn in mapping:
+        if src not in sd:
+            raise KeyError(f"missing source key: {src}")
+        _set_in(model_tree, dst, fn(sd[src]), template)
+        consumed.add(src)
+    for k in sd:
+        if k not in consumed and not any(k.startswith(p) for p in unused_prefixes):
+            raise AssertionError(
+                f"unconsumed pretrained key (coverage check, "
+                f"ref modules/train.py:109-110): {k}")
+    return consumed
+
+
+def convert_pretrained(
+    params: Dict[str, Any],
+    bert_state_dict: Dict[str, Any],
+    clip_vision_state_dict: Dict[str, Any],
+    num_text_layers: int = 12,
+    num_vision_layers: int = 12,
+) -> Dict[str, Any]:
+    """Return a copy of ``params`` with both towers replaced by converted
+    pretrained weights. Coverage-asserts like the reference."""
+    import copy
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    new = copy.deepcopy(params)
+    model = new["model"]
+    _apply_mapping(model, params["model"], bert_mapping(num_text_layers),
+                   bert_state_dict, _BERT_UNUSED_PREFIXES)
+    _apply_mapping(model, params["model"], clip_vision_mapping(num_vision_layers),
+                   clip_vision_state_dict, _CLIP_UNUSED_PREFIXES)
+    return new
+
+
+def _load_torch_file(path: str) -> Dict[str, Any]:
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_pretrained_params(pretrained_dir: str, cfg, params_template):
+    """Load bert.pt + clip_vit.pt (torch state_dicts) from a local dir and
+    convert. Files are produced once, offline, with:
+
+        torch.save(BertModel.from_pretrained(name).state_dict(), 'bert.pt')
+        torch.save(CLIPModel.from_pretrained(name).vision_model.state_dict(),
+                   'clip_vit.pt')
+    """
+    bert_sd = _load_torch_file(os.path.join(pretrained_dir, "bert.pt"))
+    clip_sd = _load_torch_file(os.path.join(pretrained_dir, "clip_vit.pt"))
+    tc, vc = cfg.text_config(), cfg.vision_config()
+    return convert_pretrained(params_template, bert_sd, clip_sd,
+                              tc.num_hidden_layers, vc.num_hidden_layers)

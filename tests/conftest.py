@@ -1,0 +1,29 @@
+"""Test harness: force an 8-device virtual CPU mesh BEFORE jax imports.
+
+This simulates the v5e-8 slice without hardware (SURVEY.md section 4); the
+driver separately dry-run-compiles the multi-chip path via __graft_entry__.
+"""
+
+import os
+
+# Force CPU even when the shell exports JAX_PLATFORMS (the 'axon' TPU plugin
+# on this box overrides the env var, so set the config flag too) — unit tests
+# must be hardware-independent.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("JAX_PLATFORM_NAME", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devices = jax.devices()
+    assert len(devices) == 8, f"expected 8 virtual devices, got {len(devices)}"
+    return devices

@@ -1,0 +1,143 @@
+"""Data pipeline tests: tokenizer, dataset transform, loader static shapes,
+the corrupt-image fallback (ref: processor/dataset.py:94-97), and the sentic
+graph builder (ref: processor/generate_sentic_graph.py:21-41)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from d2r_tpu.data.dataset import (
+    DataLoader,
+    MSDDataset,
+    MSDProcessor,
+    synthetic_batch,
+    write_fake_dataset,
+)
+from d2r_tpu.data.sentic import affective_adjacency, batched_affective_adjacency
+from d2r_tpu.data.tokenizer import BasicTokenizer, BertTokenizer, HashTokenizer
+
+
+class TestTokenizer:
+    def test_basic_tokenizer_lowercases_and_splits(self):
+        t = BasicTokenizer()
+        assert t.tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+
+    def test_wordpiece_with_vocab(self, tmp_path):
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "un", "##aff", "##able", "hello", "world"]
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(vocab) + "\n")
+        tok = BertTokenizer.from_vocab_file(str(p))
+        assert tok.tokenize("unaffable hello") == ["un", "##aff", "##able", "hello"]
+        assert tok.tokenize("xyzzy") == ["[UNK]"]
+        ids = tok.convert_tokens_to_ids(["hello", "world"])
+        assert ids == [8, 9]
+
+    def test_hash_tokenizer_deterministic(self):
+        t = HashTokenizer(vocab_size=1000)
+        a = t.convert_tokens_to_ids(t.tokenize("some stable words"))
+        b = t.convert_tokens_to_ids(t.tokenize("some stable words"))
+        assert a == b
+        assert all(5 <= i < 1000 for i in a)
+
+    def test_hf_parity_when_available(self, tmp_path):
+        """When HF's tokenizer is importable, check WordPiece agreement on a
+        local vocab (no hub access)."""
+        transformers = pytest.importorskip("transformers")
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "the", "quick", "brown", "fox", "##es", "jump", "##ing",
+                 "over", "lazy", "dog", ",", "!"]
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(vocab) + "\n")
+        theirs = transformers.BertTokenizer(str(p), do_lower_case=True)
+        ours = BertTokenizer.from_vocab_file(str(p))
+        text = "The quick brown Foxes jumping over the lazy dog!"
+        assert ours.tokenize(text) == theirs.tokenize(text)
+
+
+class TestDataset:
+    @pytest.fixture(scope="class")
+    def fake_data(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("msd"))
+        paths = write_fake_dataset(root, n=10, image_size=32, corrupt_every=4)
+        return paths
+
+    def test_item_shapes_and_padding(self, fake_data):
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                        image_size=32)
+        item = ds[0]
+        assert item["input_ids"].shape == (16,)
+        assert item["attention_mask"].shape == (16,)
+        assert item["pixel_values"].shape == (3, 32, 32)
+        # [CLS] first, mask covers the real tokens then zeros
+        assert item["input_ids"][0] == proc.tokenizer.cls_token_id
+        n = int(item["attention_mask"].sum())
+        assert (item["input_ids"][n:] == 0).all()
+        assert item["img_mask"].shape == (50,)
+
+    def test_corrupt_image_falls_back(self, fake_data):
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                        image_size=32)
+        # item 0 was written corrupt (corrupt_every=4); must not raise and
+        # must equal the preprocessed fallback image
+        item = ds[0]
+        from d2r_tpu.data.image import load_image
+        fb = load_image(os.path.join(fake_data["img_dir"], "inf.png"), 32)
+        np.testing.assert_allclose(item["pixel_values"], fb, atol=1e-6)
+
+    def test_loader_static_shapes_with_wrap_padding(self, fake_data):
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                        image_size=32)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=7)
+        batches = list(loader)
+        assert len(batches) == 3  # 10 samples / bs 4 -> 3 batches
+        for b in batches:
+            assert b["input_ids"].shape == (4, 16)
+            assert b["pixel_values"].shape == (4, 3, 32, 32)
+        # last batch wraps: 2 valid + 2 padding
+        assert batches[-1]["valid"].sum() == 2
+        assert batches[0]["valid"].all()
+
+    def test_loader_shuffles_between_epochs(self, fake_data):
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                        image_size=32)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1, seed=7)
+        e1 = np.concatenate([b["labels"] for b in loader])
+        e2 = np.concatenate([b["labels"] for b in loader])
+        assert e1.shape == e2.shape  # may coincide by chance but shapes fixed
+
+    def test_synthetic_batch(self):
+        b = synthetic_batch(4, 16, 32, seed=3)
+        assert b["input_ids"].shape == (4, 16)
+        assert (b["attention_mask"].sum(1) >= 4).all()
+        assert b["pixel_values"].dtype == np.float32
+
+
+class TestSentic:
+    LEX = {"good": 0.9, "bad": -0.8}
+
+    def test_adjacency_semantics(self):
+        m = affective_adjacency("good movie", "", self.LEX)
+        # 'good': 0.9+1=1.9 added to row0 and col0 (diag 2x), 'movie': 0
+        assert m.shape == (2, 2)
+        np.testing.assert_allclose(m[0, 0], 3.8)
+        np.testing.assert_allclose(m[0, 1], 1.9)
+        np.testing.assert_allclose(m[1, 0], 1.9)
+        np.testing.assert_allclose(m[1, 1], 1.0)  # zero diag forced to 1
+
+    def test_aspect_bonus(self):
+        m = affective_adjacency("good", "good things", self.LEX)
+        np.testing.assert_allclose(m[0, 0], (0.9 + 1 + 1) * 2)
+
+    def test_batched_padding(self):
+        out = batched_affective_adjacency(["good bad", "bad"], self.LEX, max_seq=4)
+        assert out.shape == (2, 4, 4)
+        # padding rows keep unit diagonal
+        np.testing.assert_allclose(out[1, 3, 3], 1.0)
+        np.testing.assert_allclose(out[1, 2, 3], 0.0)

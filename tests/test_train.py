@@ -1,0 +1,118 @@
+"""Trainer-level tests: optimizer grouping, LR schedule shape, checkpoint
+round-trip, overfit-8-samples convergence (the e2e regression from
+SURVEY.md section 4), and the multichip dry run."""
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from d2r_tpu.config import tiny_test_config
+from d2r_tpu.data.dataset import synthetic_batch
+from d2r_tpu.models.unimo import D2RClassifier
+from d2r_tpu.train.optimizer import (
+    linear_warmup_decay,
+    make_optimizer,
+    param_group_label,
+)
+from d2r_tpu.train.state import create_train_state, make_eval_step, make_train_step
+
+
+def _tiny_batch(cfg, seed=0, bs=None):
+    vc = cfg.vision_config()
+    return synthetic_batch(bs or cfg.batch_size, cfg.max_seq, vc.image_size,
+                           vocab_size=cfg.text_config().vocab_size, seed=seed)
+
+
+class TestOptimizer:
+    def test_param_group_labels(self):
+        # mirrors ref: modules/train.py:292-319 substring rules
+        assert param_group_label("fc/kernel") == "fc"
+        assert param_group_label("model/encoder_text_layers/layer_0/x/kernel") == "text"
+        assert param_group_label("model/vision_embeddings/class_embedding") == "vision"
+        assert param_group_label("model/itr_module/dynamic_itr_l0/glac/text_cls_pool/dense/kernel") == "text"
+        assert param_group_label("model/block_fusion/linear0/kernel") == "other"
+        assert param_group_label("model/itr_module/dynamic_itr_l0/ric/router/mlp_0/kernel") == "other"
+
+    def test_schedule_matches_hf_semantics(self):
+        # HF: step/warmup then (total-step)/(total-warmup), all x base lr
+        sched = linear_warmup_decay(1.0, warmup_steps=10, total_steps=100)
+        np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-7)
+        np.testing.assert_allclose(float(sched(5)), 0.5, atol=1e-6)
+        np.testing.assert_allclose(float(sched(10)), 1.0, atol=1e-6)
+        np.testing.assert_allclose(float(sched(55)), 0.5, atol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-6)
+
+
+class TestTrainState:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_test_config(batch_size=8, num_epochs=1)
+        model = D2RClassifier(cfg)
+        batch = _tiny_batch(cfg, seed=0)
+        tx = make_optimizer(cfg, total_steps=100)
+        state = create_train_state(model, cfg, tx, jax.random.key(0), batch)
+        return cfg, model, state, batch
+
+    def test_router_bias_init(self, setup):
+        cfg, model, state, batch = setup
+        b = state.params["model"]["itr_module"]["dynamic_itr_l0"]["ric"][
+            "router"]["mlp_2"]["bias"]
+        np.testing.assert_allclose(np.asarray(b), 1.5)  # ref: Router.py:20
+
+    def test_train_step_reduces_loss_on_fixed_batch(self, setup):
+        cfg, model, state, batch = setup
+        train_step = make_train_step(model)
+        rng = jax.random.key(1)
+        losses = []
+        for _ in range(12):
+            state, metrics = train_step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_overfit_8_samples(self):
+        """e2e regression: a tiny model must memorise 8 fixed samples."""
+        cfg = tiny_test_config(batch_size=8, lr=3e-4, warmup_ratio=0.05)
+        model = D2RClassifier(cfg)
+        batch = _tiny_batch(cfg, seed=42)
+        tx = make_optimizer(cfg, total_steps=80)
+        state = create_train_state(model, cfg, tx, jax.random.key(0), batch)
+        train_step = make_train_step(model)
+        eval_step = make_eval_step(model)
+        rng = jax.random.key(2)
+        for _ in range(60):
+            state, metrics = train_step(state, batch, rng)
+        out = eval_step(state, batch)
+        acc = float((np.asarray(out["logits"]).argmax(-1)
+                     == batch["labels"]).mean())
+        assert acc >= 0.875, f"failed to overfit: acc={acc}"
+
+    def test_checkpoint_roundtrip(self, setup, tmp_path):
+        cfg, model, state, batch = setup
+        from d2r_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+        path = os.path.join(str(tmp_path), "ckpt")
+        save_checkpoint(path, state)
+        # corrupt params, then restore
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        state2 = state.replace(params=zeroed)
+        state2 = restore_checkpoint(path, state2)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(state2.params)
+        assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+class TestMultichip:
+    def test_dryrun_8_devices(self, eight_devices):
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
+
+    def test_batch_sharding_is_real(self, eight_devices):
+        from d2r_tpu.parallel.mesh import make_mesh, shard_batch
+        mesh = make_mesh((-1,), ("data",))
+        batch = _tiny_batch(tiny_test_config(batch_size=8), seed=0)
+        sharded = shard_batch(batch, mesh)
+        assert len(sharded["input_ids"].sharding.device_set) == 8
