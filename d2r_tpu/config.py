@@ -241,6 +241,16 @@ def tiny_test_config(**overrides) -> D2RConfig:
     return D2RConfig(**defaults)
 
 
+def register_text_preset(name: str, factory) -> None:
+    """Register a custom text-tower preset resolvable via ``bert_name``."""
+    _TEXT_PRESETS[name] = factory
+
+
+def register_vision_preset(name: str, factory) -> None:
+    """Register a custom vision-tower preset resolvable via ``vit_name``."""
+    _VISION_PRESETS[name] = factory
+
+
 _TEXT_PRESETS["tiny-bert"] = lambda: TextEncoderConfig(
     vocab_size=128,
     hidden_size=64,
