@@ -25,7 +25,7 @@ REF_3090_SAMPLES_PER_SEC = 100.0  # documented estimate, see module docstring
 BATCH_SIZE = 64
 MAX_SEQ = 64
 WARMUP_STEPS = 3
-MEASURE_STEPS = 10
+MEASURE_STEPS = 30
 
 
 def main() -> None:
@@ -35,7 +35,6 @@ def main() -> None:
     from d2r_tpu.config import D2RConfig
     from d2r_tpu.data.dataset import synthetic_batch
     from d2r_tpu.models.unimo import D2RClassifier
-    from d2r_tpu.train.optimizer import make_optimizer
     from d2r_tpu.train.state import create_train_state, make_train_step
 
     n_chips = max(len(jax.devices()), 1)
@@ -49,23 +48,34 @@ def main() -> None:
                                vocab_size=cfg.text_config().vocab_size, seed=0)
     batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
-    tx = make_optimizer(cfg, total_steps=1000)
-    state = create_train_state(model, cfg, tx, jax.random.key(0), batch)
+    state = create_train_state(model, cfg, None, jax.random.key(0), batch,
+                               total_steps=1000)
     train_step = make_train_step(model)
     rng = jax.random.key(1)
 
+    # NOTE on timing: on this stack block_until_ready can return before
+    # device execution finishes (tunnelled runtime), so we force a real
+    # device->host transfer (float(loss)) as the sync point, chain
+    # MEASURE_STEPS dependent steps between syncs, and subtract the measured
+    # empty host roundtrip.
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # true sync
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    last_loss = float(metrics["loss"])  # forces the whole dependency chain
     elapsed = time.perf_counter() - t0
 
+    # empty roundtrip cost
+    t0 = time.perf_counter()
+    _ = float(metrics["ce_loss"])
+    roundtrip = time.perf_counter() - t0
+    elapsed = max(elapsed - roundtrip, 1e-9)
+
     samples_per_sec_per_chip = BATCH_SIZE * MEASURE_STEPS / elapsed / n_chips
-    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(last_loss)
 
     print(json.dumps({
         "metric": "finetune_samples_per_sec_per_chip",

@@ -59,6 +59,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--raw_feature_norm_CMRC", default="clipped_l2norm")
     p.add_argument("--lambda_softmax_CMRC", default=4.0, type=float)
     p.add_argument("--hid_router", default=768, type=int)
+    p.add_argument("--num_classes", default=None, type=int,
+                   help="classifier width; default 3 (2 for --dataset hfm)")
     # --- dataset locations (hardcoded dicts in ref: run.py:86-105) ---
     p.add_argument("--dataset", default="mvsa-single",
                    choices=["mvsa-single", "mvsa-multiple", "hfm", "custom"])
@@ -83,6 +85,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None, type=str)
     p.add_argument("--cleanup_output", action="store_true",
                    help="reference behaviour: delete save_path after test")
+    p.add_argument("--use_sentic_graph", action="store_true",
+                   help="enable SenticNet affective-graph GCN refinement")
+    p.add_argument("--sentic_lexicon", default=None, type=str,
+                   help="path to senticnet_word.txt (word\\tpolarity per line)")
     return p
 
 
@@ -112,7 +118,14 @@ def config_from_args(args) -> D2RConfig:
     mesh_shape = (args.mesh_data,) if args.mesh_model == 1 else (
         args.mesh_data, args.mesh_model)
     axis_names = ("data",) if args.mesh_model == 1 else ("data", "model")
+    if args.num_classes is not None:
+        num_classes = args.num_classes
+    else:
+        # 3-way sentiment (ref: models/unimo_model.py:145); HFM sarcasm is
+        # binary (the commented-out variant at ref: run.py:100-105)
+        num_classes = 2 if args.dataset == "hfm" else 3
     return D2RConfig(
+        num_classes=num_classes,
         bert_name=args.bert_name, vit_name=args.vit_name,
         num_epochs=args.num_epochs, device=args.device,
         batch_size=args.batch_size, lr=args.lr,
@@ -130,6 +143,8 @@ def config_from_args(args) -> D2RConfig:
         raw_feature_norm_CMRC=args.raw_feature_norm_CMRC,
         lambda_softmax_CMRC=args.lambda_softmax_CMRC,
         hid_router=args.hid_router,
+        use_sentic_graph=args.use_sentic_graph,
+        sentic_lexicon_path=args.sentic_lexicon,
         compute_dtype=args.compute_dtype,
         use_pallas=not args.no_pallas, remat=args.remat,
         mesh_shape=mesh_shape, mesh_axis_names=axis_names,
@@ -168,10 +183,15 @@ def main(argv=None) -> None:
         {k: paths[k] for k in ("train", "dev", "test")}, cfg.bert_name,
         vocab_size=cfg.text_config().vocab_size)
     vc = cfg.vision_config()
+    lexicon = None
+    if cfg.use_sentic_graph and cfg.sentic_lexicon_path:
+        from d2r_tpu.data.sentic import load_sentic_lexicon
+        lexicon = load_sentic_lexicon(cfg.sentic_lexicon_path)
     mk = lambda mode: MSDDataset(
         processor, paths["img"], max_seq=cfg.max_seq, mode=mode,
         image_size=vc.image_size, num_vision_tokens=vc.num_tokens,
-        sample_ratio=cfg.sample_ratio if mode == "train" else 1.0)
+        sample_ratio=cfg.sample_ratio if mode == "train" else 1.0,
+        sentic_lexicon=lexicon)
     train_loader = DataLoader(mk("train"), cfg.batch_size, shuffle=True,
                               num_workers=args.num_workers, seed=cfg.seed)
     dev_loader = DataLoader(mk("dev"), cfg.batch_size, shuffle=False,

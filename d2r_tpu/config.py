@@ -190,6 +190,11 @@ class D2RConfig:
     routing_threshold: float = 1e-4    # ref: models/DynamicInteraction.py:24
     cma_temperature: float = 100.0     # ref: models/XModules.py:309
 
+    # --- optional SenticNet affective-graph refinement (BASELINE config 2;
+    # disconnected dead code in the reference, see docs/PARITY.md item 6) ---
+    use_sentic_graph: bool = False
+    sentic_lexicon_path: Optional[str] = None
+
     # --- TPU-native additions (no reference equivalent) ---
     compute_dtype: str = "float32"      # "bfloat16" for MXU throughput
     use_pallas: bool = True             # pallas fused attention on TPU

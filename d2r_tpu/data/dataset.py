@@ -64,6 +64,7 @@ class MSDDataset:
         num_vision_tokens: int = 50,
         sample_ratio: float = 1.0,
         fallback_image: str = "inf.png",
+        sentic_lexicon=None,
     ):
         self.processor = processor
         self.tokenizer = processor.tokenizer
@@ -71,6 +72,7 @@ class MSDDataset:
         self.max_seq = max_seq
         self.image_size = image_size
         self.num_vision_tokens = num_vision_tokens
+        self.sentic_lexicon = sentic_lexicon  # word->polarity dict or None
         self.data = processor.load_from_file(mode)
         if sample_ratio < 1.0:  # low-resource subsetting (ref: run.py:60)
             n = max(1, int(len(self.data["texts"]) * sample_ratio))
@@ -107,7 +109,7 @@ class MSDDataset:
         else:
             pixel_values = np.zeros((3, self.image_size, self.image_size), np.float32)
 
-        return {
+        item = {
             "input_ids": input_ids,
             "attention_mask": attention_mask,
             "token_type_ids": token_type_ids,
@@ -116,6 +118,11 @@ class MSDDataset:
             "labels": np.int32(label),
             "pixel_values": pixel_values.astype(np.float32),
         }
+        if self.sentic_lexicon is not None:
+            from d2r_tpu.data.sentic import batched_affective_adjacency
+            item["sentic_adj"] = batched_affective_adjacency(
+                [text], self.sentic_lexicon, self.max_seq)[0]
+        return item
 
 
 class DataLoader:

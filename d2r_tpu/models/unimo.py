@@ -48,6 +48,7 @@ class D2RModel(nn.Module):
         pixel_values: Array,       # (B, 3, H, W) float
         deterministic: bool = True,
         use_running_average: bool = True,
+        sentic_adj: Array = None,  # (B, L, L) affective adjacency (optional)
     ) -> Tuple[Array, Array]:
         c = self.cfg
         dtype = c.dtype
@@ -71,6 +72,16 @@ class D2RModel(nn.Module):
         text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat,
                                name="encoder_text_layers")(
             text_emb, key_bias, deterministic)
+
+        # --- optional SenticNet affective-graph refinement (extension; the
+        # reference checks in GraphConvolution + the graph builder but never
+        # connects them, SURVEY.md section 2.8; BASELINE config 2 enables) ---
+        if c.use_sentic_graph and sentic_adj is not None:
+            from d2r_tpu.models.graph import GraphConvolution
+            import jax
+            gcn_out = GraphConvolution(tc.hidden_size, dtype,
+                                       name="sentic_gcn")(text_out, sentic_adj)
+            text_out = text_out + jax.nn.relu(gcn_out)
 
         # --- one extra self-attention layer per branch (ref: :834-840) ---
         text_self = BertLayer(tc, dtype, c.use_pallas, name="self_text")(
@@ -123,10 +134,11 @@ class D2RClassifier(nn.Module):
         deterministic: bool = True,
         use_running_average: bool = True,
         valid: Array = None,       # optional row mask for wrap-padded batches
+        sentic_adj: Array = None,  # optional affective adjacency
     ) -> Tuple[Array, Array, Dict[str, Array]]:
         pooled, js_loss = D2RModel(self.cfg, name="model")(
             input_ids, attention_mask, token_type_ids, pixel_values,
-            deterministic, use_running_average)
+            deterministic, use_running_average, sentic_adj)
         # 'fc' is top-level so the reference's startswith('fc') optimiser
         # group (lr 5e-2, ref: modules/train.py:314-320) maps onto it.
         from d2r_tpu.models.layers import TorchLinear

@@ -104,14 +104,14 @@ def ccr_contrastive_loss(
 
     # CCR: (B, L, 2) scores of each view against the text vector
     scores = jnp.einsum("blvd,blud->blvu", img_rep, txt_rep)[..., 0] * inv_sqrt_d
-    cost_ccr = jnp.clip(margin + scores - scores[..., 0:1], a_min=0.0)
+    cost_ccr = jnp.clip(margin + scores - scores[..., 0:1], min=0.0)
     view_mask = jnp.array([1.0, 0.0])  # mask out the positive (first) view
     cost_ccr = jnp.where(view_mask[None, None, :] == 1.0, 0.0, cost_ccr)
 
     # CCS: (B, L, L) attention-view vs text-token Gram
     ccs = jnp.einsum("bld,bmd->blm", img_rep[:, :, 0, :], txt_rep[:, :, 0, :]) * inv_sqrt_d
     diag = jnp.diagonal(ccs, axis1=-2, axis2=-1)[..., None]
-    cost_ccs = jnp.clip(margin + ccs - diag, a_min=0.0)
+    cost_ccs = jnp.clip(margin + ccs - diag, min=0.0)
     eye = jnp.eye(ccs.shape[-1], dtype=bool)[None]
     cost_ccs = jnp.where(eye, 0.0, cost_ccs)
     cost_ccs = jnp.max(cost_ccs, axis=-1)  # max_violation=True

@@ -1,0 +1,128 @@
+"""Inference / serving path (BASELINE config 5: padded-routing inference).
+
+The reference has no serving story beyond the test loop
+(ref: modules/train.py:220-278). TPU-native design:
+
+  * a ``Predictor`` wrapping one jitted deterministic forward per
+    (batch, seq) bucket — requests are padded up to the nearest bucket so
+    XLA compiles a handful of programs once and every request after that is
+    a single device launch;
+  * batched predict returns labels + probabilities; padding rows are
+    stripped before returning;
+  * ``latency_stats`` measures steady-state p50/p95 for the benchmark.
+"""
+
+from __future__ import annotations
+
+import bisect
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2r_tpu.config import D2RConfig
+from d2r_tpu.models.unimo import D2RClassifier
+
+
+class Predictor:
+    """Bucketed, jitted batch predictor over a trained parameter tree."""
+
+    def __init__(
+        self,
+        cfg: D2RConfig,
+        variables: Dict,
+        batch_buckets: Sequence[int] = (1, 8, 32),
+        seq_buckets: Optional[Sequence[int]] = None,
+    ):
+        self.cfg = cfg
+        self.variables = variables
+        self.model = D2RClassifier(cfg)
+        self.batch_buckets = sorted(batch_buckets)
+        self.seq_buckets = sorted(seq_buckets or [cfg.max_seq])
+        self._fns: Dict[Tuple[int, int], callable] = {}
+
+    def _fn(self, b: int, l: int):
+        key = (b, l)
+        if key not in self._fns:
+            model = self.model
+
+            @jax.jit
+            def fwd(variables, input_ids, attention_mask, token_type_ids,
+                    pixel_values):
+                labels = jnp.zeros((input_ids.shape[0],), jnp.int32)
+                _, logits, _ = model.apply(
+                    variables, input_ids, attention_mask, token_type_ids,
+                    labels, pixel_values,
+                    deterministic=True, use_running_average=True)
+                return jax.nn.softmax(logits, axis=-1)
+
+            self._fns[key] = fwd
+        return self._fns[key]
+
+    def _bucket(self, buckets: List[int], n: int) -> int:
+        i = bisect.bisect_left(buckets, n)
+        return buckets[min(i, len(buckets) - 1)]
+
+    def predict(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        token_type_ids: np.ndarray,
+        pixel_values: np.ndarray,
+    ) -> Dict[str, np.ndarray]:
+        """Pad to the nearest (batch, seq) bucket, run, strip padding."""
+        n, l = input_ids.shape
+        b = self._bucket(self.batch_buckets, n)
+        lb = self._bucket(self.seq_buckets, l)
+
+        def pad(x, rows, cols=None):
+            widths = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            if cols is not None:
+                widths[1] = (0, cols - x.shape[1])
+            return np.pad(x, widths)
+
+        probs = self._fn(b, lb)(
+            self.variables,
+            jnp.asarray(pad(input_ids, b, lb)),
+            jnp.asarray(pad(attention_mask, b, lb)),
+            jnp.asarray(pad(token_type_ids, b, lb)),
+            jnp.asarray(pad(pixel_values, b)),
+        )
+        probs = np.asarray(probs)[:n]
+        return {"label": probs.argmax(-1), "probs": probs}
+
+    def warmup(self) -> None:
+        """Compile every bucket ahead of serving."""
+        vc = self.cfg.vision_config()
+        for b in self.batch_buckets:
+            for l in self.seq_buckets:
+                self._fn(b, l)(
+                    self.variables,
+                    jnp.zeros((b, l), jnp.int32),
+                    jnp.ones((b, l), jnp.int32),
+                    jnp.zeros((b, l), jnp.int32),
+                    jnp.zeros((b, vc.num_channels, vc.image_size,
+                               vc.image_size), jnp.float32),
+                )
+
+
+def latency_stats(predictor: Predictor, batch: Dict[str, np.ndarray],
+                  iters: int = 20, warmup: int = 3) -> Dict[str, float]:
+    """Steady-state request latency (seconds): mean / p50 / p95."""
+    times = []
+    for i in range(warmup + iters):
+        t0 = time.perf_counter()
+        out = predictor.predict(batch["input_ids"], batch["attention_mask"],
+                                batch["token_type_ids"], batch["pixel_values"])
+        _ = out["label"]  # forces host sync via np.asarray in predict
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+    xs = sorted(times)
+    return {
+        "mean": sum(xs) / len(xs),
+        "p50": xs[len(xs) // 2],
+        "p95": xs[min(int(len(xs) * 0.95), len(xs) - 1)],
+    }

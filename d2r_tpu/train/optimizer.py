@@ -16,10 +16,12 @@ group's base lr, including fc's 5e-2, exactly as torch does.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 from d2r_tpu.config import D2RConfig
 
@@ -60,9 +62,84 @@ def _adamw(lr_schedule) -> optax.GradientTransformation:
                        weight_decay=1e-2)
 
 
-def make_optimizer(cfg: D2RConfig, total_steps: int) -> optax.GradientTransformation:
-    warmup = cfg.warmup_ratio * total_steps
+class FusedAdamWState(NamedTuple):
+    count: jnp.ndarray
+    m: Any          # dict group -> flat first-moment vector
+    v: Any          # dict group -> flat second-moment vector
 
+
+def fused_adamw(cfg: D2RConfig, total_steps: int, params_template
+                ) -> optax.GradientTransformation:
+    """TPU-fused AdamW: one contiguous flat buffer per lr-group.
+
+    The D2R tree has ~2000 small leaves (36 routing cells x ~20 params each);
+    a per-leaf AdamW lowers to thousands of tiny kernels that dominate step
+    time (~160ms vs 22ms fwd+bwd measured on v5e). Ravelling each lr-group
+    into one flat vector turns the update into a handful of full-bandwidth
+    VPU ops.
+
+    Grouping note: the reference's 4 AdamW groups all share args.lr except
+    the fc head at 5e-2 (ref: modules/train.py:287-322), so exactly two
+    *value* groups exist: 'fc' and everything else. `param_group_label`
+    remains the source of truth for the 4-way labelling.
+    """
+    warmup = cfg.warmup_ratio * total_steps
+    schedules = {
+        "main": linear_warmup_decay(cfg.lr, warmup, total_steps),
+        "fc": linear_warmup_decay(cfg.fc_lr, warmup, total_steps),
+    }
+    b1, b2, eps, wd = 0.9, 0.999, 1e-8, 1e-2
+
+    def split(tree):
+        groups = {"fc": {}, "main": {}}
+        for key, sub in tree.items():
+            groups["fc" if param_group_label(key) == "fc" else "main"][key] = sub
+        return groups
+
+    # unravel fns are built once from the template (pure structure)
+    unravels = {}
+    for gname, sub in split(params_template).items():
+        _, unravels[gname] = ravel_pytree(sub)
+
+    def init_fn(params):
+        groups = split(params)
+        m = {g: jnp.zeros_like(ravel_pytree(sub)[0]) for g, sub in groups.items()}
+        v = {g: jnp.zeros_like(ravel_pytree(sub)[0]) for g, sub in groups.items()}
+        return FusedAdamWState(count=jnp.zeros((), jnp.int32), m=m, v=v)
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "fused_adamw requires params (for decay)"
+        g_groups = split(updates)
+        p_groups = split(params)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        new_m, new_v, out = {}, {}, {}
+        for gname in g_groups:
+            g, _ = ravel_pytree(g_groups[gname])
+            p, _ = ravel_pytree(p_groups[gname])
+            g = g.astype(jnp.float32)
+            m = b1 * state.m[gname] + (1 - b1) * g
+            v = b2 * state.v[gname] + (1 - b2) * jnp.square(g)
+            mhat = m / (1 - b1 ** t)
+            vhat = v / (1 - b2 ** t)
+            lr = schedules[gname](state.count)
+            upd = -lr * (mhat / (jnp.sqrt(vhat) + eps) + wd * p)
+            new_m[gname], new_v[gname] = m, v
+            out.update(unravels[gname](upd))
+        return out, FusedAdamWState(count=count, m=new_m, v=new_v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg: D2RConfig, total_steps: int,
+                   params: Optional[Any] = None) -> optax.GradientTransformation:
+    """With ``params`` (a template tree): the fused flat-buffer AdamW.
+    Without: the reference-shaped 4-group optax.multi_transform (identical
+    math, one small kernel per leaf — fine on CPU, slow on TPU)."""
+    if params is not None:
+        return fused_adamw(cfg, total_steps, params)
+
+    warmup = cfg.warmup_ratio * total_steps
     tx = optax.multi_transform(
         {
             "other": _adamw(linear_warmup_decay(cfg.lr, warmup, total_steps)),

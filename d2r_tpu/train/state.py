@@ -32,14 +32,22 @@ BATCH_KEYS = ("input_ids", "attention_mask", "token_type_ids", "labels",
 
 def _model_inputs(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     inputs = {k: batch[k] for k in BATCH_KEYS}
-    if "valid" in batch:
-        inputs["valid"] = batch["valid"]
+    for optional in ("valid", "sentic_adj"):
+        if optional in batch:
+            inputs[optional] = batch[optional]
     return inputs
 
 
-def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch) -> TrainState:
+def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch,
+                       total_steps: int = 1000) -> TrainState:
+    """Init variables and build the train state. Pass ``tx=None`` to get the
+    fused flat-buffer AdamW (train/optimizer.py) built against the freshly
+    initialised param tree — the fast path on TPU."""
     variables = jax.jit(functools.partial(model.init))(
         rng, **_model_inputs(sample_batch))
+    if tx is None:
+        from d2r_tpu.train.optimizer import make_optimizer
+        tx = make_optimizer(cfg, total_steps, params=variables["params"])
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

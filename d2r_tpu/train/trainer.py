@@ -28,7 +28,6 @@ from d2r_tpu.config import D2RConfig
 from d2r_tpu.parallel.mesh import make_mesh, shard_batch
 from d2r_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from d2r_tpu.train.metrics import get_four_metrics
-from d2r_tpu.train.optimizer import make_optimizer
 from d2r_tpu.train.state import (
     create_train_state,
     make_eval_step,
@@ -80,9 +79,9 @@ class Trainer:
         """Build TrainState; optionally seed with converted pretrained trees
         (the TPU-native replacement for the reference's substring weight
         surgery, ref: modules/train.py:92-111 — see utils/weights.py)."""
-        tx = make_optimizer(self.cfg, self.train_num_steps)
         rng = jax.random.key(self.cfg.seed)
-        state = create_train_state(self.model, self.cfg, tx, rng, sample_batch)
+        state = create_train_state(self.model, self.cfg, None, rng,
+                                   sample_batch, total_steps=self.train_num_steps)
         if params is not None:
             state = state.replace(params=params)
         if batch_stats is not None:

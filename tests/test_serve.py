@@ -1,0 +1,65 @@
+"""Serving-path tests: bucketing, padding-strip, jit-cache reuse."""
+
+import numpy as np
+import jax
+
+from d2r_tpu.config import tiny_test_config
+from d2r_tpu.data.dataset import synthetic_batch
+from d2r_tpu.models.unimo import D2RClassifier
+from d2r_tpu.serve import Predictor
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _setup():
+    cfg = tiny_test_config()
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(4, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=0)
+    import jax.numpy as jnp
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["token_type_ids"]), jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["pixel_values"]))
+    return cfg, variables, batch
+
+
+def test_predict_strips_padding_and_buckets():
+    cfg, variables, batch = _setup()
+    pred = Predictor(cfg, variables, batch_buckets=(2, 4),
+                     seq_buckets=(cfg.max_seq,))
+    out = pred.predict(batch["input_ids"][:3], batch["attention_mask"][:3],
+                       batch["token_type_ids"][:3], batch["pixel_values"][:3])
+    assert out["label"].shape == (3,)          # 3 rows in a 4-bucket
+    assert out["probs"].shape == (3, cfg.num_classes)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-5)
+    assert (0 <= out["label"]).all() and (out["label"] < cfg.num_classes).all()
+
+
+def test_bucketed_result_matches_exact_batch():
+    cfg, variables, batch = _setup()
+    pred = Predictor(cfg, variables, batch_buckets=(4,), seq_buckets=(cfg.max_seq,))
+    full = pred.predict(batch["input_ids"], batch["attention_mask"],
+                        batch["token_type_ids"], batch["pixel_values"])
+    # row 0 alone, padded into the same bucket, must give the same probs:
+    # padding rows cannot leak into real rows' logits... note the JS Gram
+    # matrices touch the whole batch but logits only depend on per-row
+    # streams; verify that claim empirically.
+    one = pred.predict(batch["input_ids"][:1], batch["attention_mask"][:1],
+                       batch["token_type_ids"][:1], batch["pixel_values"][:1])
+    np.testing.assert_allclose(one["probs"][0], full["probs"][0], atol=2e-5)
+
+
+def test_jit_cache_reused_across_requests():
+    cfg, variables, batch = _setup()
+    pred = Predictor(cfg, variables, batch_buckets=(4,), seq_buckets=(cfg.max_seq,))
+    pred.predict(batch["input_ids"], batch["attention_mask"],
+                 batch["token_type_ids"], batch["pixel_values"])
+    assert len(pred._fns) == 1
+    pred.predict(batch["input_ids"][:2], batch["attention_mask"][:2],
+                 batch["token_type_ids"][:2], batch["pixel_values"][:2])
+    assert len(pred._fns) == 1  # same bucket -> same compiled fn

@@ -66,6 +66,10 @@ class TestTrainState:
 
     def test_train_step_reduces_loss_on_fixed_batch(self, setup):
         cfg, model, state, batch = setup
+        # the jitted step donates its input state; work on a copy so the
+        # class-scoped fixture state stays alive for later tests
+        state = jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
         train_step = make_train_step(model)
         rng = jax.random.key(1)
         losses = []
