@@ -131,13 +131,51 @@ def fused_adamw(cfg: D2RConfig, total_steps: int, params_template
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def grouped_adamw(cfg: D2RConfig, total_steps: int) -> optax.GradientTransformation:
+    """Single AdamW chain with a per-leaf group learning rate.
+
+    One scale_by_adam over the whole tree (instead of 4 masked copies as in
+    multi_transform) plus a final per-leaf multiply by the group's scheduled
+    lr — the multiply fuses into the update chain, so this costs one AdamW,
+    not four. Math identical to the reference's 4-group AdamW
+    (ref: modules/train.py:287-322): groups other/text/vision share args.lr,
+    fc uses 5e-2, all with decoupled weight decay 1e-2 scaled by lr.
+    """
+    warmup = cfg.warmup_ratio * total_steps
+    sched_main = linear_warmup_decay(cfg.lr, warmup, total_steps)
+    sched_fc = linear_warmup_decay(cfg.fc_lr, warmup, total_steps)
+
+    def scale_by_group_lr() -> optax.GradientTransformation:
+        def init_fn(params):
+            return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+        def update_fn(updates, state, params=None):
+            del params
+            lr_main = sched_main(state.count)
+            lr_fc = sched_fc(state.count)
+            labels = _label_tree(updates)
+            out = jax.tree_util.tree_map(
+                lambda u, lab: u * (-lr_fc if lab == "fc" else -lr_main),
+                updates, labels)
+            return out, optax.ScaleByScheduleState(count=state.count + 1)
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(1e-2),
+        scale_by_group_lr(),
+    )
+
+
 def make_optimizer(cfg: D2RConfig, total_steps: int,
                    params: Optional[Any] = None) -> optax.GradientTransformation:
-    """With ``params`` (a template tree): the fused flat-buffer AdamW.
-    Without: the reference-shaped 4-group optax.multi_transform (identical
-    math, one small kernel per leaf — fine on CPU, slow on TPU)."""
+    """With ``params`` (a template tree): the single-chain grouped AdamW
+    (fast TPU path). Without: the reference-shaped 4-group
+    optax.multi_transform (identical math, 4x the per-leaf kernels — fine on
+    CPU, used as the oracle in tests)."""
     if params is not None:
-        return fused_adamw(cfg, total_steps, params)
+        return grouped_adamw(cfg, total_steps)
 
     warmup = cfg.warmup_ratio * total_steps
     tx = optax.multi_transform(

@@ -170,7 +170,22 @@ class Trainer:
         m = get_four_metrics(true_labels, pred_labels, average="weighted",
                              num_classes=self.cfg.num_classes)
         m["loss"] = total_loss
+        m["_true_labels"] = true_labels
+        m["_pred_labels"] = pred_labels
         return m
+
+    def _write_predictions(self, m: Dict) -> None:
+        """--write_path: dump test predictions as JSON. The reference
+        declares the flag (ref: run.py:52-53) but never implements it;
+        this makes it functional."""
+        if not self.cfg.write_path:
+            return
+        import json
+        os.makedirs(os.path.dirname(self.cfg.write_path) or ".", exist_ok=True)
+        with open(self.cfg.write_path, "w", encoding="utf-8") as f:
+            json.dump({"true_labels": m["_true_labels"],
+                       "pred_labels": m["_pred_labels"]}, f)
+        self.logger.info("Wrote predictions to %s", self.cfg.write_path)
 
     def evaluate(self, epoch: int) -> Dict[str, float]:
         """Dev eval + best-F1 checkpointing (ref: modules/train.py:161-218)."""
@@ -199,6 +214,7 @@ class Trainer:
         """(ref: modules/train.py:220-278)."""
         self.logger.info("***** Running testing *****")
         m = self._run_eval(self.test_data, "Testing")
+        self._write_predictions(m)
         result = {
             "eval_accuracy": m["accuracy"], "precision": m["precision"],
             "recall": m["recall"], "f_score": m["f_score"],

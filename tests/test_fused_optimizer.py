@@ -4,9 +4,10 @@ multi_transform optimizer exactly (same math, different lowering)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d2r_tpu.config import tiny_test_config
-from d2r_tpu.train.optimizer import fused_adamw, make_optimizer
+from d2r_tpu.train.optimizer import fused_adamw, grouped_adamw, make_optimizer
 
 
 def _toy_params():
@@ -23,13 +24,17 @@ def _toy_params():
     }
 
 
-def test_fused_matches_multi_transform_over_steps():
+@pytest.mark.parametrize("variant", ["fused", "grouped"])
+def test_fast_optimizers_match_multi_transform_over_steps(variant):
     cfg = tiny_test_config(lr=1e-3, warmup_ratio=0.1)
     params = _toy_params()
     grads_seed = jax.random.key(42)
 
     tx_ref = make_optimizer(cfg, total_steps=20)          # multi_transform
-    tx_fused = fused_adamw(cfg, total_steps=20, params_template=params)
+    if variant == "fused":
+        tx_fused = fused_adamw(cfg, total_steps=20, params_template=params)
+    else:
+        tx_fused = grouped_adamw(cfg, total_steps=20)
 
     s_ref = tx_ref.init(params)
     s_fused = tx_fused.init(params)
