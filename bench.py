@@ -32,10 +32,19 @@ def main() -> None:
     import jax
     import numpy as np
 
+    from d2r_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from d2r_tpu.config import D2RConfig
     from d2r_tpu.data.dataset import synthetic_batch
     from d2r_tpu.models.unimo import D2RClassifier
-    from d2r_tpu.train.state import create_train_state, make_train_step
+    from d2r_tpu.train.state import (
+        create_train_state, make_multi_step, make_train_step)
+
+    import jax.numpy as jnp
+
+    def jnp_stack(x, k):
+        return jnp.broadcast_to(jnp.asarray(x)[None], (k,) + tuple(np.shape(x)))
 
     n_chips = max(len(jax.devices()), 1)
 
@@ -50,27 +59,27 @@ def main() -> None:
 
     state = create_train_state(model, cfg, None, jax.random.key(0), batch,
                                total_steps=1000)
-    train_step = make_train_step(model)
     rng = jax.random.key(1)
 
-    # NOTE on timing: on this stack block_until_ready can return before
-    # device execution finishes (tunnelled runtime), so we force a real
-    # device->host transfer (float(loss)) as the sync point, chain
-    # MEASURE_STEPS dependent steps between syncs, and subtract the measured
-    # empty host roundtrip.
-    for _ in range(WARMUP_STEPS):
-        state, metrics = train_step(state, batch, rng)
-    _ = float(metrics["loss"])  # true sync
+    # MEASURE_STEPS chained steps inside ONE jitted lax.scan program: this is
+    # the production input-prefetched training loop shape, and it amortises
+    # host dispatch (which is expensive through the tunnelled runtime).
+    multi_step = make_multi_step(model, MEASURE_STEPS)
+    stacked = {k: jnp_stack(v, MEASURE_STEPS) for k, v in batch.items()}
+
+    # NOTE on timing: block_until_ready can return before device execution
+    # finishes on this stack, so the sync point is a real device->host
+    # transfer (float(loss)); the measured empty roundtrip is subtracted.
+    state, metrics = multi_step(state, stacked, rng)  # compile + warm
+    _ = float(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, metrics = train_step(state, batch, rng)
-    last_loss = float(metrics["loss"])  # forces the whole dependency chain
+    state, metrics = multi_step(state, stacked, rng)
+    last_loss = float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
-    # empty roundtrip cost
     t0 = time.perf_counter()
-    _ = float(metrics["ce_loss"])
+    _ = float(metrics["losses"][0])
     roundtrip = time.perf_counter() - t0
     elapsed = max(elapsed - roundtrip, 1e-9)
 

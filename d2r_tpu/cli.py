@@ -165,6 +165,8 @@ def main(argv=None) -> None:
             jax.config.update("jax_platforms", args.device)
         except Exception:
             pass
+    from d2r_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     # deterministic seeding (ref: run.py:29-35): JAX threads PRNG keys
     # explicitly, so cfg.seed fully determines init + dropout + shuffling.

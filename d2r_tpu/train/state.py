@@ -56,10 +56,10 @@ def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch,
     )
 
 
-def make_train_step(model):
-    """Returns a jittable (state, batch, rng) -> (state, metrics) step."""
+def _train_step_body(model):
+    """The un-jitted (state, batch, rng) -> (state, metrics) step body,
+    shared by make_train_step and make_multi_step."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng):
         step_rng = jax.random.fold_in(dropout_rng, state.step)
 
@@ -82,6 +82,36 @@ def make_train_step(model):
         return state, metrics
 
     return train_step
+
+
+def make_train_step(model):
+    """Returns the jitted single (state, batch, rng) -> (state, metrics)
+    step with donated state."""
+    return functools.partial(jax.jit, donate_argnums=(0,))(
+        _train_step_body(model))
+
+
+def make_multi_step(model, num_steps: int):
+    """K chained training steps in ONE jitted program via lax.scan.
+
+    Takes batches stacked on a leading axis (K, B, ...). Amortises host
+    dispatch (significant through the tunnelled runtime) and lets XLA
+    pipeline across steps. Used by bench.py and available to the trainer
+    when the input pipeline can prefetch K batches ahead.
+    """
+    single = _train_step_body(model)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, stacked_batches, dropout_rng):
+        def body(carry, batch):
+            new_state, metrics = single(carry, batch, dropout_rng)
+            return new_state, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, stacked_batches,
+                                     length=num_steps)
+        return state, {"loss": losses[-1], "losses": losses}
+
+    return multi_step
 
 
 def make_eval_step(model):

@@ -35,7 +35,20 @@ from d2r_tpu.train.state import (
 )
 
 
-class Trainer:
+class BaseTrainer:
+    """Abstract train/evaluate/test surface (ref: modules/train.py:42-50)."""
+
+    def train(self):
+        raise NotImplementedError()
+
+    def evaluate(self, epoch):
+        raise NotImplementedError()
+
+    def test(self, epoch):
+        raise NotImplementedError()
+
+
+class Trainer(BaseTrainer):
     """MSDTrainer equivalent (ref: modules/train.py:53-77)."""
 
     def __init__(

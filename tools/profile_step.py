@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from d2r_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 from d2r_tpu.config import D2RConfig
 from d2r_tpu.data.dataset import synthetic_batch
 from d2r_tpu.models.bert import BertEncoder

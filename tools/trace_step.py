@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def capture(trace_dir: str, steps: int = 3):
     import jax
+
+    from d2r_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
 
     from d2r_tpu.config import D2RConfig
