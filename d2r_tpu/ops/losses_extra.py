@@ -73,6 +73,27 @@ def diff_loss(input1: jnp.ndarray, input2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.mean(jnp.linalg.norm(x1 - x2, axis=1))
 
 
+def labeled_js_div(p_output: jnp.ndarray, q_output: jnp.ndarray,
+                   labels: jnp.ndarray, get_softmax: bool = True) -> jnp.ndarray:
+    """The sarcasm-variant JS divergence (ref: models/unimo_model.py:8-26,
+    dead). Quirks reproduced exactly: softmax over dim 1, label-flipped
+    target, and the regulariser's as-written parenthesisation
+    ``(1/(||0.5-q||+margin) + (1/||0.5-p||) + margin)/2``."""
+    from d2r_tpu.ops.losses import kl_div_batchmean
+
+    margin = 0.5
+    labels = labels[:, None].astype(jnp.float32)
+    if get_softmax:
+        p = jax.nn.softmax(p_output.astype(jnp.float32), axis=1)
+        q = jax.nn.softmax(q_output.astype(jnp.float32), axis=1)
+    else:
+        p, q = p_output, q_output
+    new_q = labels * q + (1.0 - labels) * (1.0 - q)
+    regularizer = (1.0 / (jnp.linalg.norm(0.5 - q) + margin)
+                   + (1.0 / jnp.linalg.norm(0.5 - p)) + margin) / 2.0
+    return kl_div_batchmean(jnp.log(p), new_q) + 0.5 * regularizer
+
+
 def supcon_loss(
     features: jnp.ndarray,
     labels: Optional[jnp.ndarray] = None,

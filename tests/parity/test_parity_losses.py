@@ -44,6 +44,21 @@ def test_diff_loss(ref):
     np.testing.assert_allclose(float(got), float(expect), rtol=1e-5)
 
 
+def test_labeled_js_div(ref):
+    from d2r_tpu.ops.losses_extra import labeled_js_div
+    rng = np.random.default_rng(5)
+    p = rng.normal(size=(6, 2)).astype(np.float32)
+    q = rng.normal(size=(6, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, size=6).astype(np.float32)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        expect = ref["model"].js_div(torch.tensor(p), torch.tensor(q),
+                                     torch.tensor(labels))
+    got = labeled_js_div(jnp.asarray(p), jnp.asarray(q), jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), float(expect), rtol=1e-5)
+
+
 def test_supcon_loss(ref):
     rng = np.random.default_rng(2)
     feats = rng.normal(size=(6, 2, 16)).astype(np.float32)
