@@ -53,14 +53,32 @@ def load_image(
     path: str,
     image_size: int = 224,
     fallback_path: Optional[str] = None,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """Decode + preprocess with the reference's bare-except fallback chain."""
+    """Decode + preprocess with the reference's bare-except fallback chain.
+
+    Tries the GIL-free C loader first (native/imagedec.c — near-exact PIL
+    semantics, float-precision resampling instead of PIL's fixed-point);
+    any native failure falls through to PIL, then the fallback image, then a
+    grey frame.
+    """
+    if use_native:
+        from d2r_tpu.data.native_image import native_load_image
+        out = native_load_image(path, image_size)
+        if out is not None:
+            return out
     try:
         return preprocess_pil(_load_pil(path), image_size)
     except Exception:
-        if fallback_path is not None and os.path.exists(fallback_path):
-            try:
-                return preprocess_pil(_load_pil(fallback_path), image_size)
-            except Exception:
-                pass
-        return gray_fallback(image_size)
+        pass
+    if fallback_path is not None and os.path.exists(fallback_path):
+        if use_native:
+            from d2r_tpu.data.native_image import native_load_image
+            out = native_load_image(fallback_path, image_size)
+            if out is not None:
+                return out
+        try:
+            return preprocess_pil(_load_pil(fallback_path), image_size)
+        except Exception:
+            pass
+    return gray_fallback(image_size)

@@ -64,9 +64,8 @@ class IntraModelReasoningCell(nn.Module):
                            dtype=self.dtype, name="router")(x)
         d = c.embed_size
         h = c.num_head_IMRC
-        q = TorchLinear(d, dtype=self.dtype, name="sa_q")(x)
-        k = TorchLinear(d, dtype=self.dtype, name="sa_k")(x)
-        v = TorchLinear(d, dtype=self.dtype, name="sa_v")(x)
+        qkv = TorchLinear(3 * d, dtype=self.dtype, name="sa_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         ctx = dot_product_attention(
             split_heads(q, h), split_heads(k, h), split_heads(v, h),
             scale=(d // h) ** -0.5, use_pallas=c.use_pallas)

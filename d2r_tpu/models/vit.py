@@ -69,9 +69,9 @@ class CLIPAttention(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
-        q = TorchLinear(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
-        k = TorchLinear(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
-        v = TorchLinear(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        # fused QKV (see bert.py note)
+        qkv = TorchLinear(3 * c.hidden_size, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         rng = None
         if not deterministic and c.attention_dropout > 0:
             rng = self.make_rng("dropout")

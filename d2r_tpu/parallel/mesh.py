@@ -61,8 +61,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # are small and batch-bound).
 _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # attention projections: shard output features (heads)
-    (r"(query|key|value|q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
-    (r"(query|key|value|q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
+    (r"(qkv|sa_qkv|query|key|value|q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
+    (r"(qkv|sa_qkv|query|key|value|q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
     # attention output projection: shard input features
     (r"(attention_output/dense|out_proj)/kernel$", P(MODEL_AXIS, None)),
     # MLP up-projection: shard hidden

@@ -50,6 +50,17 @@ def _linear(dst: Tuple[str, ...], src: str):
     ]
 
 
+def _fused_qkv(dst: Tuple[str, ...], q: str, k: str, v: str):
+    """Three torch Linears -> the fused (in, 3h) qkv kernel (models/bert.py)."""
+    return [
+        (dst + ("kernel",), (q + ".weight", k + ".weight", v + ".weight"),
+         lambda qw, kw, vw: np.concatenate(
+             [_np(qw).T, _np(kw).T, _np(vw).T], axis=1)),
+        (dst + ("bias",), (q + ".bias", k + ".bias", v + ".bias"),
+         lambda qb, kb, vb: np.concatenate([_np(qb), _np(kb), _np(vb)])),
+    ]
+
+
 def _layernorm(dst: Tuple[str, ...], src: str):
     return [
         (dst + ("scale",), src + ".weight", _np),
@@ -70,9 +81,10 @@ def bert_mapping(num_layers: int):
     for i in range(num_layers):
         dst = ("encoder_text_layers", f"layer_{i}")
         src = f"encoder.layer.{i}"
-        m += _linear(dst + ("attention_self", "query"), src + ".attention.self.query")
-        m += _linear(dst + ("attention_self", "key"), src + ".attention.self.key")
-        m += _linear(dst + ("attention_self", "value"), src + ".attention.self.value")
+        m += _fused_qkv(dst + ("attention_self", "qkv"),
+                        src + ".attention.self.query",
+                        src + ".attention.self.key",
+                        src + ".attention.self.value")
         m += _linear(dst + ("attention_output", "dense"), src + ".attention.output.dense")
         m += _layernorm(dst + ("attention_output", "LayerNorm"),
                         src + ".attention.output.LayerNorm")
@@ -98,8 +110,11 @@ def clip_vision_mapping(num_layers: int):
     for i in range(num_layers):
         dst = ("encoder_vision_layers", f"layer_{i}")
         src = f"encoder.layers.{i}"
-        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            m += _linear(dst + ("self_attn", proj), f"{src}.self_attn.{proj}")
+        m += _fused_qkv(dst + ("self_attn", "qkv"),
+                        f"{src}.self_attn.q_proj",
+                        f"{src}.self_attn.k_proj",
+                        f"{src}.self_attn.v_proj")
+        m += _linear(dst + ("self_attn", "out_proj"), f"{src}.self_attn.out_proj")
         m += _layernorm(dst + ("layer_norm1",), src + ".layer_norm1")
         m += _layernorm(dst + ("layer_norm2",), src + ".layer_norm2")
         m += _linear(dst + ("mlp_fc1",), src + ".mlp.fc1")
@@ -111,10 +126,12 @@ def _apply_mapping(model_tree: Dict[str, Any], template: Dict[str, Any],
                    mapping, sd: Dict[str, Any], unused_prefixes) -> Set[str]:
     consumed: Set[str] = set()
     for dst, src, fn in mapping:
-        if src not in sd:
-            raise KeyError(f"missing source key: {src}")
-        _set_in(model_tree, dst, fn(sd[src]), template)
-        consumed.add(src)
+        srcs = src if isinstance(src, tuple) else (src,)
+        for s in srcs:
+            if s not in sd:
+                raise KeyError(f"missing source key: {s}")
+        _set_in(model_tree, dst, fn(*[sd[s] for s in srcs]), template)
+        consumed.update(srcs)
     for k in sd:
         if k not in consumed and not any(k.startswith(p) for p in unused_prefixes):
             raise AssertionError(

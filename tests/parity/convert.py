@@ -42,6 +42,17 @@ def embed(mod):
     return {"embedding": t2n(mod.weight)}
 
 
+def fused_qkv(q_lin, k_lin, v_lin):
+    """Three torch Linears -> one fused (in, 3h) kernel (see models/bert.py)."""
+    return {
+        "kernel": np.concatenate(
+            [t2n(q_lin.weight).T, t2n(k_lin.weight).T, t2n(v_lin.weight).T],
+            axis=1),
+        "bias": np.concatenate(
+            [t2n(q_lin.bias), t2n(k_lin.bias), t2n(v_lin.bias)]),
+    }
+
+
 def router(mod):
     return _merge(mlp_0=linear(mod.mlp[0]), mlp_2=linear(mod.mlp[2]))
 
@@ -83,7 +94,7 @@ def imrc(mod):
     lin = mod.sa.att_layer.linears
     return _merge(
         router=router(mod.router),
-        sa_q=linear(lin[0]), sa_k=linear(lin[1]), sa_v=linear(lin[2]),
+        sa_qkv=fused_qkv(lin[0], lin[1], lin[2]),
         ffn_fc1=linear(mod.sa.feed_forward_layer.fc1),
         ffn_fc2=linear(mod.sa.feed_forward_layer.fc2),
     )
@@ -158,9 +169,9 @@ def bert_embeddings(mod):
 def bert_layer(mod):
     return _merge(
         attention_self=_merge(
-            query=linear(mod.attention.self.query),
-            key=linear(mod.attention.self.key),
-            value=linear(mod.attention.self.value)),
+            qkv=fused_qkv(mod.attention.self.query,
+                          mod.attention.self.key,
+                          mod.attention.self.value)),
         attention_output=_merge(
             dense=linear(mod.attention.output.dense),
             LayerNorm=layernorm(mod.attention.output.LayerNorm)),
@@ -187,9 +198,9 @@ def clip_layer(mod):
     return _merge(
         layer_norm1=layernorm(mod.layer_norm1),
         self_attn=_merge(
-            q_proj=linear(mod.self_attn.q_proj),
-            k_proj=linear(mod.self_attn.k_proj),
-            v_proj=linear(mod.self_attn.v_proj),
+            qkv=fused_qkv(mod.self_attn.q_proj,
+                          mod.self_attn.k_proj,
+                          mod.self_attn.v_proj),
             out_proj=linear(mod.self_attn.out_proj)),
         layer_norm2=layernorm(mod.layer_norm2),
         mlp_fc1=linear(mod.mlp.fc1),

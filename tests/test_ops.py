@@ -12,31 +12,33 @@ from d2r_tpu.ops.norms import l1norm, l2norm, torch_style_normalize
 
 
 class TestAttention:
+    # layout: (B, L, H, D) — see ops/attention.py
+
     def test_matches_manual_softmax(self):
         rng = np.random.default_rng(0)
-        b, h, l, s, d = 2, 3, 8, 6, 16
-        q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+        b, l, s, h, d = 2, 8, 6, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
         out = dot_product_attention(q, k, v, use_pallas=False)
 
-        scores = np.einsum("bhld,bhsd->bhls", q, k) / np.sqrt(d)
+        scores = np.einsum("blhd,bshd->bhls", q, k) / np.sqrt(d)
         e = np.exp(scores - scores.max(-1, keepdims=True))
         p = e / e.sum(-1, keepdims=True)
-        expect = np.einsum("bhls,bhsd->bhld", p, v)
+        expect = np.einsum("bhls,bshd->blhd", p, v)
         np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
 
     def test_key_bias_masks_padding(self):
         rng = np.random.default_rng(1)
-        b, h, l, s, d = 1, 1, 4, 6, 8
-        q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+        b, l, s, h, d = 1, 4, 6, 1, 8
+        q = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
         mask = jnp.array([[1, 1, 1, 0, 0, 0]])
         bias = padding_key_bias(mask)
         out_masked = dot_product_attention(q, k, v, key_bias=bias, use_pallas=False)
         # equivalent: attention over only the first 3 keys
-        out_sliced = dot_product_attention(q, k[:, :, :3], v[:, :, :3], use_pallas=False)
+        out_sliced = dot_product_attention(q, k[:, :3], v[:, :3], use_pallas=False)
         np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_sliced), atol=1e-4)
 
     def test_split_merge_roundtrip(self):
@@ -51,11 +53,15 @@ class TestAttention:
         q = rng.normal(size=(b, h, l, d)).astype(np.float32)
         k = rng.normal(size=(b, h, l, d)).astype(np.float32)
         v = rng.normal(size=(b, h, l, d)).astype(np.float32)
+        # ours takes (B, L, H, D)
         ours = dot_product_attention(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), use_pallas=False)
+            jnp.asarray(q).transpose(0, 2, 1, 3),
+            jnp.asarray(k).transpose(0, 2, 1, 3),
+            jnp.asarray(v).transpose(0, 2, 1, 3), use_pallas=False)
         theirs = torch.nn.functional.scaled_dot_product_attention(
             torch.tensor(q), torch.tensor(k), torch.tensor(v))
-        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1, 3),
+                                   theirs.numpy(), atol=2e-5)
 
 
 class TestLosses:
