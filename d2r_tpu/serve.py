@@ -109,17 +109,52 @@ class Predictor:
 
 
 def latency_stats(predictor: Predictor, batch: Dict[str, np.ndarray],
-                  iters: int = 20, warmup: int = 3) -> Dict[str, float]:
-    """Steady-state request latency (seconds): mean / p50 / p95."""
+                  iters: int = 20, warmup: int = 3,
+                  device_resident: bool = False) -> Dict[str, float]:
+    """Steady-state request latency (seconds): mean / p50 / p95.
+
+    ``device_resident=True`` pre-stages the (padded) inputs on device and
+    times only the compiled forward + tiny probs download — the model-side
+    latency. The default times the full request path including host->device
+    input transfer (which on a tunnelled runtime is dominated by the link,
+    not the chip).
+    """
     times = []
-    for i in range(warmup + iters):
-        t0 = time.perf_counter()
-        out = predictor.predict(batch["input_ids"], batch["attention_mask"],
-                                batch["token_type_ids"], batch["pixel_values"])
-        _ = out["label"]  # forces host sync via np.asarray in predict
-        dt = time.perf_counter() - t0
-        if i >= warmup:
-            times.append(dt)
+    if device_resident:
+        import jax
+        import jax.numpy as jnp
+        n, l = batch["input_ids"].shape
+        b = predictor._bucket(predictor.batch_buckets, n)
+        lb = predictor._bucket(predictor.seq_buckets, l)
+        fn = predictor._fn(b, lb)
+
+        def pad(x, rows, cols=None):
+            widths = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            if cols is not None:
+                widths[1] = (0, cols - x.shape[1])
+            return np.pad(x, widths)
+
+        args = (predictor.variables,
+                jax.device_put(jnp.asarray(pad(batch["input_ids"], b, lb))),
+                jax.device_put(jnp.asarray(pad(batch["attention_mask"], b, lb))),
+                jax.device_put(jnp.asarray(pad(batch["token_type_ids"], b, lb))),
+                jax.device_put(jnp.asarray(pad(batch["pixel_values"], b))))
+        for i in range(warmup + iters):
+            t0 = time.perf_counter()
+            probs = np.asarray(fn(*args))  # tiny (b, classes) download = sync
+            dt = time.perf_counter() - t0
+            if i >= warmup:
+                times.append(dt)
+    else:
+        for i in range(warmup + iters):
+            t0 = time.perf_counter()
+            out = predictor.predict(
+                batch["input_ids"], batch["attention_mask"],
+                batch["token_type_ids"], batch["pixel_values"])
+            _ = out["label"]  # forces host sync via np.asarray in predict
+            dt = time.perf_counter() - t0
+            if i >= warmup:
+                times.append(dt)
     xs = sorted(times)
     return {
         "mean": sum(xs) / len(xs),

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Serving latency benchmark: p50/p95 end-to-end request latency on TPU.
+
+BASELINE.json names "p50 inference latency" as a headline metric; this tool
+measures it for the flagship model across batch buckets. (bench.py remains
+the single-line training-throughput benchmark the driver consumes.)
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,8,32")
+    ap.add_argument("--max_seq", default=64, type=int)
+    ap.add_argument("--iters", default=20, type=int)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from d2r_tpu.config import D2RConfig
+    from d2r_tpu.data.dataset import synthetic_batch
+    from d2r_tpu.models.unimo import D2RClassifier
+    from d2r_tpu.serve import Predictor, latency_stats
+    from d2r_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    buckets = tuple(int(b) for b in args.batches.split(","))
+
+    cfg = D2RConfig(DR_step=4, max_seq=args.max_seq, compute_dtype="bfloat16",
+                    use_pallas=True)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    init_batch = synthetic_batch(buckets[0], args.max_seq, vc.image_size,
+                                 vocab_size=cfg.text_config().vocab_size, seed=0)
+    import jax.numpy as jnp
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.asarray(init_batch["input_ids"]),
+        jnp.asarray(init_batch["attention_mask"]),
+        jnp.asarray(init_batch["token_type_ids"]),
+        jnp.asarray(init_batch["labels"]),
+        jnp.asarray(init_batch["pixel_values"]))
+
+    pred = Predictor(cfg, variables, batch_buckets=buckets,
+                     seq_buckets=(args.max_seq,))
+    pred.warmup()
+
+    results = {}
+    for b in buckets:
+        batch = synthetic_batch(b, args.max_seq, vc.image_size,
+                                vocab_size=cfg.text_config().vocab_size, seed=b)
+        full = latency_stats(pred, batch, iters=args.iters)
+        model = latency_stats(pred, batch, iters=args.iters,
+                              device_resident=True)
+        results[f"batch_{b}"] = {
+            "e2e_ms": {k: round(v * 1e3, 2) for k, v in full.items()},
+            "model_ms": {k: round(v * 1e3, 2) for k, v in model.items()},
+        }
+        print(f"batch {b:>3}: e2e p50 {full['p50']*1e3:8.2f} ms | "
+              f"model p50 {model['p50']*1e3:8.2f} ms  p95 {model['p95']*1e3:8.2f} ms "
+              f"({b/model['p50']:8.1f} samples/s model-side)")
+    print(json.dumps({"metric": "inference_latency_ms", "value": results}))
+
+
+if __name__ == "__main__":
+    main()
