@@ -53,6 +53,9 @@ class TorchLinear(nn.Module):
         in_features = x.shape[-1]
         bound = 1.0 / math.sqrt(in_features)
         kernel = self.param("kernel", _uniform_init(bound), (in_features, self.features))
+        # NOTE: keep the N-D dot. XLA lowers 3D dots into conv-form HLOs,
+        # which profile FINE here — an experiment flattening to 2D dots
+        # measured 869 vs 922 samples/s (extra reshape materialisation).
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                     preferred_element_type=self.dtype)
         if self.use_bias:
