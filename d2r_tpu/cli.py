@@ -85,6 +85,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None, type=str)
     p.add_argument("--cleanup_output", action="store_true",
                    help="reference behaviour: delete save_path after test")
+    p.add_argument("--save_opt_state", action="store_true",
+                   help="checkpoint optimizer state too (true resume; the "
+                        "reference restarts the schedule)")
     p.add_argument("--use_sentic_graph", action="store_true",
                    help="enable SenticNet affective-graph GCN refinement")
     p.add_argument("--sentic_lexicon", default=None, type=str,
@@ -143,6 +146,7 @@ def config_from_args(args) -> D2RConfig:
         raw_feature_norm_CMRC=args.raw_feature_norm_CMRC,
         lambda_softmax_CMRC=args.lambda_softmax_CMRC,
         hid_router=args.hid_router,
+        save_opt_state=args.save_opt_state,
         use_sentic_graph=args.use_sentic_graph,
         sentic_lexicon_path=args.sentic_lexicon,
         compute_dtype=args.compute_dtype,

@@ -196,6 +196,7 @@ class D2RConfig:
     sentic_lexicon_path: Optional[str] = None
 
     # --- TPU-native additions (no reference equivalent) ---
+    save_opt_state: bool = False        # true resume (ref restarts schedule)
     compute_dtype: str = "float32"      # "bfloat16" for MXU throughput
     use_pallas: bool = True             # pallas fused attention on TPU
     remat: bool = False                 # jax.checkpoint over encoder layers

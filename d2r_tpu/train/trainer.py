@@ -219,7 +219,8 @@ class Trainer(BaseTrainer):
             self.best_dev_metric = m["f_score"]
             if self.cfg.save_path is not None:
                 save_checkpoint(os.path.join(self.cfg.save_path, "best_model"),
-                                self.state)
+                                self.state,
+                                include_opt_state=self.cfg.save_opt_state)
                 self.logger.info("Save best model at %s", self.cfg.save_path)
         return result
 

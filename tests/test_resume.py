@@ -1,0 +1,49 @@
+"""True-resume checkpointing: optimizer state + step survive a round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2r_tpu.config import tiny_test_config
+from d2r_tpu.data.dataset import synthetic_batch
+from d2r_tpu.models.unimo import D2RClassifier
+from d2r_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from d2r_tpu.train.state import create_train_state, make_train_step
+
+
+def test_opt_state_roundtrip(tmp_path):
+    cfg = tiny_test_config(batch_size=4)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(4, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=0)
+    state = create_train_state(model, cfg, None, jax.random.key(0), batch,
+                               total_steps=50)
+    step = make_train_step(model)
+    rng = jax.random.key(1)
+    # advance a few steps so opt state is non-trivial
+    s = jax.tree_util.tree_map(
+        lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
+    for _ in range(3):
+        s, _ = step(s, batch, rng)
+
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, s, include_opt_state=True)
+
+    fresh = create_train_state(model, cfg, None, jax.random.key(2), batch,
+                               total_steps=50)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == int(s.step) == 3
+
+    a = jax.tree_util.tree_leaves(s.opt_state)
+    b = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+    # continuing from the restored state matches continuing from the original
+    s2, m1 = step(s, batch, rng)
+    r2, m2 = step(restored, batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
