@@ -33,14 +33,30 @@ def js_div(p_logits: jnp.ndarray, q_logits: jnp.ndarray, get_softmax: bool = Tru
 
     Mirrors ref: models/XModules.py:32-41 — softmax over the last axis,
     then (KL(p||m) + KL(q||m)) / 2 with batchmean reduction.
+
+    Robustness (identical values wherever the reference is finite): when a
+    softmax row entry underflows to exactly 0 in BOTH p and q, the reference
+    computes 0 * log(0) = NaN (torch does too). Here the p=0 terms contribute
+    0 via xlogy, and the mean is clamped where the target is 0 so gradients
+    stay finite. This matters for the scaled (1024-dim) configs, whose Gram
+    logits are spread widely enough for softmax rows to hit exact zeros.
     """
     if get_softmax:
         p = jax.nn.softmax(p_logits.astype(jnp.float32), axis=-1)
         q = jax.nn.softmax(q_logits.astype(jnp.float32), axis=-1)
     else:
         p, q = p_logits, q_logits
-    log_mean = jnp.log((p + q) / 2.0)
-    return (kl_div_batchmean(log_mean, p) + kl_div_batchmean(log_mean, q)) / 2.0
+    m = (p + q) / 2.0
+
+    def kl_vs_mean(t):
+        pos = t > 0
+        safe_t = jnp.where(pos, t, 1.0)    # log-grad of t*log(t) at 0 is -inf
+        safe_m = jnp.where(pos, m, 1.0)    # t>0 implies m >= t/2 > 0
+        pointwise = jnp.where(
+            pos, safe_t * (jnp.log(safe_t) - jnp.log(safe_m)), 0.0)
+        return jnp.sum(pointwise) / t.shape[0]
+
+    return (kl_vs_mean(p) + kl_vs_mean(q)) / 2.0
 
 
 def path_consistency_loss(
