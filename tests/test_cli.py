@@ -1,0 +1,65 @@
+"""CLI surface tests: flag names/defaults mirror the reference argparse
+(ref: run.py:40-82) and dataset-path conventions (ref: run.py:86-105)."""
+
+import os
+
+from d2r_tpu.cli import build_arg_parser, config_from_args, dataset_paths
+
+
+def test_reference_defaults():
+    args = build_arg_parser().parse_args([])
+    # ref: run.py:40-82 defaults
+    assert args.bert_name == "bert-base-uncased"
+    assert args.vit_name == "clip-vit-base-patch32"
+    assert args.num_epochs == 30
+    assert args.batch_size == 32
+    assert args.lr == 3e-5
+    assert args.warmup_ratio == 0.01
+    assert args.eval_begin_epoch == 1
+    assert args.seed == 2023
+    assert args.max_seq == 128
+    assert args.alpha == 0.0 and args.margin == 0.1
+    assert args.DR_step == 3
+    assert args.weight_js_1 == 0.1 and args.weight_js_2 == 0.1
+    assert args.embed_size == 768
+    assert args.num_head_IMRC == 16 and args.hid_IMRC == 768
+    assert args.raw_feature_norm_CMRC == "clipped_l2norm"
+    assert args.lambda_softmax_CMRC == 4.0
+    assert args.hid_router == 768
+
+
+def test_recipe_flags_round_trip():
+    # the run.sh MVSA-Single recipe (ref: run.sh:1-21)
+    argv = ("--num_epochs 20 --lr 1e-5 --warmup_ratio 0.2 --seed 2023 "
+            "--batch_size 64 --max_seq 64 --weight_js_1 0.9 --weight_js_2 0.3 "
+            "--DR_step 4 --weight_diff 0").split()
+    args = build_arg_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.num_epochs == 20 and cfg.lr == 1e-5 and cfg.batch_size == 64
+    assert cfg.DR_step == 4 and cfg.weight_js_1 == 0.9 and cfg.weight_js_2 == 0.3
+    assert cfg.max_seq == 64
+    # hidden constants (SURVEY.md section 5.6)
+    assert cfg.num_cells == 6 and cfg.path_hid == 128
+    assert cfg.fc_lr == 5e-2 and cfg.router_bias_init == 1.5
+    assert cfg.routing_threshold == 1e-4 and cfg.cma_temperature == 100.0
+    assert cfg.num_classes == 3
+
+
+def test_dataset_path_conventions():
+    args = build_arg_parser().parse_args(["--dataset", "mvsa-single"])
+    p = dataset_paths(args)
+    assert p["train"].endswith(os.path.join("MVSA-single", "10-flod-1", "train.json"))
+    assert p["img"].endswith(os.path.join("MVSA_Single", "data"))
+
+    args = build_arg_parser().parse_args(["--dataset", "hfm"])
+    p = dataset_paths(args)
+    assert p["dev"].endswith("valid.json")  # HFM uses valid.json (ref: run.py:102)
+    cfg = config_from_args(args)
+    assert cfg.num_classes == 2  # sarcasm is binary
+
+    args = build_arg_parser().parse_args(
+        ["--train_json", "a.json", "--dev_json", "b.json",
+         "--test_json", "c.json", "--img_dir", "imgs"])
+    p = dataset_paths(args)
+    assert p == {"train": "a.json", "dev": "b.json", "test": "c.json",
+                 "img": "imgs"}
