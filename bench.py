@@ -4,9 +4,21 @@
 Measures the full jitted training step (forward + backward + AdamW + BatchNorm
 stats) for D2R-base — BERT-base + CLIP-ViT-B/32 towers, 6-cell routing,
 DR_step=4, batch 64, max_seq 64: the reference's MVSA-Single reproduction
-recipe (ref: run.sh:1-21) — in bfloat16 with Pallas fused attention.
+recipe (ref: run.sh:1-21) — in bfloat16.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Raw per-window timings go to stderr.
+
+Measurement discipline (round-2 hardening; BENCH_r01.json was produced by a
+silent clamp and is invalid):
+  * >=3 measured windows of MEASURE_STEPS chained steps each; median reported.
+  * the sync point is a real device->host transfer (float(loss)) because
+    jax.block_until_ready returns early on this tunnelled runtime; the empty
+    host roundtrip is measured separately (median of several) and subtracted.
+  * a window that does not exceed the roundtrip RAISES — a measurement that
+    fails its own sanity check must never be converted into a number.
+  * a physical ceiling asserts the result is plausible: >20,000 samples/s/chip
+    would require >2.7 PFLOP/s at ~135 GFLOP/sample — impossible on one v5e.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md
 section 6). Baseline is therefore an engineering estimate of the reference's
@@ -18,14 +30,21 @@ for eager fp32 torch on GA102 -> ~100 samples/sec. BASELINE.json's target is
 """
 
 import json
+import statistics
+import sys
 import time
 
 REF_3090_SAMPLES_PER_SEC = 100.0  # documented estimate, see module docstring
 
 BATCH_SIZE = 64
 MAX_SEQ = 64
-WARMUP_STEPS = 3
 MEASURE_STEPS = 30
+NUM_WINDOWS = 5
+ROUNDTRIP_PROBES = 5
+# One v5e chip peaks at ~394 bf16 TFLOP/s; the step costs ~135 GFLOP/sample,
+# so even perfect MXU utilisation cannot exceed ~2,900 samples/s. 20,000 is a
+# generous 7x margin over physics — anything above it is a broken measurement.
+CEILING_SAMPLES_PER_SEC = 20_000.0
 
 
 def main() -> None:
@@ -38,8 +57,7 @@ def main() -> None:
     from d2r_tpu.config import D2RConfig
     from d2r_tpu.data.dataset import synthetic_batch
     from d2r_tpu.models.unimo import D2RClassifier
-    from d2r_tpu.train.state import (
-        create_train_state, make_multi_step, make_train_step)
+    from d2r_tpu.train.state import create_train_state, make_multi_step
 
     import jax.numpy as jnp
 
@@ -62,29 +80,50 @@ def main() -> None:
     rng = jax.random.key(1)
 
     # MEASURE_STEPS chained steps inside ONE jitted lax.scan program: this is
-    # the production input-prefetched training loop shape, and it amortises
-    # host dispatch (which is expensive through the tunnelled runtime).
+    # the production input-prefetched training loop shape (train/state.py
+    # make_multi_step, used by Trainer), and it amortises host dispatch
+    # (which is expensive through the tunnelled runtime).
     multi_step = make_multi_step(model, MEASURE_STEPS)
     stacked = {k: jnp_stack(v, MEASURE_STEPS) for k, v in batch.items()}
 
-    # NOTE on timing: block_until_ready can return before device execution
-    # finishes on this stack, so the sync point is a real device->host
-    # transfer (float(loss)); the measured empty roundtrip is subtracted.
     state, metrics = multi_step(state, stacked, rng)  # compile + warm
     _ = float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    state, metrics = multi_step(state, stacked, rng)
-    last_loss = float(metrics["loss"])
-    elapsed = time.perf_counter() - t0
+    # Empty device->host roundtrip: fetching one scalar that is already
+    # computed. Median of several probes.
+    roundtrips = []
+    for _ in range(ROUNDTRIP_PROBES):
+        t0 = time.perf_counter()
+        _ = float(metrics["losses"][0])
+        roundtrips.append(time.perf_counter() - t0)
+    roundtrip = statistics.median(roundtrips)
 
-    t0 = time.perf_counter()
-    _ = float(metrics["losses"][0])
-    roundtrip = time.perf_counter() - t0
-    elapsed = max(elapsed - roundtrip, 1e-9)
+    windows = []
+    last_loss = None
+    for w in range(NUM_WINDOWS):
+        t0 = time.perf_counter()
+        state, metrics = multi_step(state, stacked, rng)
+        last_loss = float(metrics["loss"])  # the sync point
+        elapsed = time.perf_counter() - t0
+        if elapsed <= roundtrip:
+            raise RuntimeError(
+                f"bench window {w}: elapsed {elapsed*1e3:.2f}ms <= measured "
+                f"roundtrip {roundtrip*1e3:.2f}ms — the timed region did not "
+                f"observably execute; refusing to report a fabricated number")
+        windows.append(elapsed - roundtrip)
+        print(f"window {w}: elapsed={elapsed*1e3:.2f}ms "
+              f"roundtrip={roundtrip*1e3:.2f}ms net={windows[-1]*1e3:.2f}ms "
+              f"loss={last_loss:.5f}", file=sys.stderr)
+    if not np.isfinite(last_loss):
+        raise RuntimeError(f"non-finite loss after measurement: {last_loss}")
 
-    samples_per_sec_per_chip = BATCH_SIZE * MEASURE_STEPS / elapsed / n_chips
-    assert np.isfinite(last_loss)
+    net = statistics.median(windows)
+    samples_per_sec_per_chip = BATCH_SIZE * MEASURE_STEPS / net / n_chips
+    if samples_per_sec_per_chip > CEILING_SAMPLES_PER_SEC:
+        raise RuntimeError(
+            f"implausible throughput {samples_per_sec_per_chip:.0f} samples/s/"
+            f"chip (> physical ceiling {CEILING_SAMPLES_PER_SEC:.0f}) — "
+            f"refusing to report")
 
     print(json.dumps({
         "metric": "finetune_samples_per_sec_per_chip",

@@ -190,9 +190,9 @@ def main(argv=None) -> None:
         vocab_size=cfg.text_config().vocab_size)
     vc = cfg.vision_config()
     lexicon = None
-    if cfg.use_sentic_graph and cfg.sentic_lexicon_path:
+    if cfg.use_sentic_graph:
         from d2r_tpu.data.sentic import load_sentic_lexicon
-        lexicon = load_sentic_lexicon(cfg.sentic_lexicon_path)
+        lexicon = load_sentic_lexicon(cfg.sentic_lexicon_path)  # default: vendored asset
     mk = lambda mode: MSDDataset(
         processor, paths["img"], max_seq=cfg.max_seq, mode=mode,
         image_size=vc.image_size, num_vision_tokens=vc.num_tokens,

@@ -205,6 +205,20 @@ class D2RConfig:
     log_steps: int = 2                  # ref: refresh_step, modules/train.py:64
     debug_nans: bool = False
     profile_dir: Optional[str] = None
+    # K train steps per device dispatch (lax.scan over stacked batches,
+    # train/state.py make_multi_step). Amortises host dispatch + the
+    # device->host loss fetch; 1 = one jitted step per batch. Identical math
+    # either way (tests/test_train.py pins K-step == K x single-step).
+    steps_per_dispatch: int = 16
+    # AdamW implementation (train/optimizer.py) — identical math, different
+    # kernel shapes: 'grouped' = one scale_by_adam chain + per-leaf group lr
+    # (default, fastest measured); 'fused' = one flat moment buffer per
+    # lr-group; 'multi_transform' = the reference-shaped 4-group oracle.
+    optimizer_impl: str = "grouped"
+    # dtype of Adam's first moment (optax mu_dtype); bf16 halves the moment
+    # HBM traffic at a negligible update-quality cost. fp32 = exact oracle
+    # match (tests/test_fused_optimizer.py).
+    adam_mu_dtype: str = "float32"
 
     def text_config(self) -> TextEncoderConfig:
         key = self.bert_name.split("/")[-1]

@@ -35,9 +35,10 @@ class MSDProcessor:
     """Split-file loader + tokenizer owner (ref: processor/dataset.py:17-47)."""
 
     def __init__(self, data_path: Dict[str, str], bert_name: str,
-                 vocab_size: int = 30522):
+                 vocab_size: int = 30522, allow_hash_fallback: bool = True):
         self.data_path = data_path
-        self.tokenizer = load_tokenizer(bert_name, vocab_size=vocab_size)
+        self.tokenizer = load_tokenizer(bert_name, vocab_size=vocab_size,
+                                        allow_hash_fallback=allow_hash_fallback)
 
     def load_from_file(self, mode: str = "train") -> Dict[str, list]:
         with open(self.data_path[mode], encoding="utf-8") as f:

@@ -6,9 +6,10 @@ training path never imports (ref: processor/generate_sentic_graph.py:5-41;
 SURVEY.md section 2.2 "vestigial"). It is still part of the reference's
 public surface and BASELINE config 2 enables it, so we provide:
 
-  * lexicon loading from a user-supplied senticnet_word.txt (the data file is
-    NOT vendored into this repo — point ``sentic_lexicon_path`` at the
-    original asset);
+  * the 39,891-entry lexicon asset vendored at
+    ``d2r_tpu/data/assets/senticnet_word.txt`` (it is part of the reference's
+    public surface); ``load_sentic_lexicon()`` defaults to it, or point
+    ``sentic_lexicon_path`` at another file;
   * the same affective adjacency construction, plus a batched static-shape
     variant that pads to max_seq so it jits;
   * batching happens on the host (numpy) — the adjacency feeds the optional
@@ -21,14 +22,20 @@ zero diagonal entries are forced to 1 (ref: generate_sentic_graph.py:26-40).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+DEFAULT_LEXICON_PATH = os.path.join(
+    os.path.dirname(__file__), "assets", "senticnet_word.txt")
 
-def load_sentic_lexicon(path: str) -> Dict[str, float]:
+
+def load_sentic_lexicon(path: Optional[str] = None) -> Dict[str, float]:
     """word\tpolarity pairs, polarity in [-1, 1]
-    (ref: processor/generate_sentic_graph.py:5-19)."""
+    (ref: processor/generate_sentic_graph.py:5-19). Defaults to the vendored
+    asset."""
+    path = path or DEFAULT_LEXICON_PATH
     lex: Dict[str, float] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:

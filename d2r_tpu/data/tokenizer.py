@@ -213,9 +213,26 @@ class HashTokenizer:
         return ids
 
 
-def load_tokenizer(bert_name: str, vocab_size: int = 30522):
-    """Resolve a tokenizer: local vocab dir/file if it exists, else hash fallback."""
+def load_tokenizer(bert_name: str, vocab_size: int = 30522,
+                   allow_hash_fallback: bool = True):
+    """Resolve a tokenizer: a local vocab dir/file if one exists, else the
+    hash-bucket fallback.
+
+    The fallback keeps pipelines runnable with zero downloaded assets, but it
+    destroys accuracy parity — so it is LOUD (one warning) and can be refused
+    outright with ``allow_hash_fallback=False`` (accuracy-parity runs, see
+    tools/run_real_assets.py)."""
     tok = BertTokenizer.from_pretrained_dir(bert_name)
     if tok is not None:
         return tok
+    if not allow_hash_fallback:
+        raise FileNotFoundError(
+            f"no vocab.txt found for {bert_name!r} and the hash-tokenizer "
+            f"fallback is disabled for this run (accuracy-parity mode). "
+            f"Point --bert_name at a directory containing vocab.txt.")
+    import logging
+    logging.getLogger(__name__).warning(
+        "no vocab.txt found for %r — using the DETERMINISTIC HASH tokenizer "
+        "fallback. Pipelines run, but results are NOT accuracy-comparable "
+        "to the reference.", bert_name)
     return HashTokenizer(vocab_size=vocab_size)

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from d2r_tpu.config import TextEncoderConfig
-from d2r_tpu.models.layers import ACT2FN, TorchLinear
+from d2r_tpu.models.layers import ACT2FN, QKVDense, TorchLinear
 from d2r_tpu.ops.attention import (
     dot_product_attention,
     merge_heads,
@@ -63,11 +63,10 @@ class BertSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, key_bias, deterministic: bool = True):
         c = self.cfg
-        # fused QKV: one (h, 3h) matmul instead of three (h, h) — fewer,
-        # larger MXU ops. Same init distribution (fan_in unchanged);
-        # converters concatenate the reference's separate q/k/v weights.
-        qkv = TorchLinear(3 * c.hidden_size, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # fused QKV: one (h, 3, h) matmul instead of three (h, h) — fewer,
+        # larger MXU ops, head-aligned under tensor parallelism (layers.py
+        # QKVDense). Converters stack the reference's separate q/k/v weights.
+        q, k, v = QKVDense(c.hidden_size, dtype=self.dtype, name="qkv")(x)
         rng = None
         if not deterministic and c.attention_probs_dropout_prob > 0:
             rng = self.make_rng("dropout")

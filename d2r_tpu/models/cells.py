@@ -64,8 +64,8 @@ class IntraModelReasoningCell(nn.Module):
                            dtype=self.dtype, name="router")(x)
         d = c.embed_size
         h = c.num_head_IMRC
-        qkv = TorchLinear(3 * d, dtype=self.dtype, name="sa_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        from d2r_tpu.models.layers import QKVDense
+        q, k, v = QKVDense(d, dtype=self.dtype, name="sa_qkv")(x)
         ctx = dot_product_attention(
             split_heads(q, h), split_heads(k, h), split_heads(v, h),
             scale=(d // h) ** -0.5, use_pallas=c.use_pallas)

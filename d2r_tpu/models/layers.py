@@ -72,6 +72,37 @@ class TorchLinear(nn.Module):
         return y
 
 
+class QKVDense(nn.Module):
+    """Fused q/k/v projection with a head-aligned parameter layout.
+
+    Kernel is (in, 3, hidden) / bias (3, hidden) — one MXU matmul like a flat
+    (in, 3*hidden) kernel (XLA folds the trailing dims), but the q/k/v
+    projections stay separate axes so tensor parallelism can shard `hidden`
+    per-projection (parallel/mesh.py P(None, None, 'model')): every shard owns
+    whole attention heads instead of a contiguous slice of the concatenated
+    3h axis that crosses q/k/v boundaries. Init matches torch.nn.Linear
+    (fan_in = in_features, identical distribution to three separate Linears).
+    Converters stack the reference's separate q/k/v weights on axis 1
+    (d2r_tpu/utils/weights.py::_fused_qkv).
+    """
+
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        in_features = x.shape[-1]
+        bound = 1.0 / math.sqrt(in_features)
+        kernel = self.param("kernel", _uniform_init(bound),
+                            (in_features, 3, self.hidden))
+        bias = self.param("bias", _uniform_init(bound), (3, self.hidden))
+        y = jnp.einsum("...i,ikh->...kh", x.astype(self.dtype),
+                       kernel.astype(self.dtype),
+                       preferred_element_type=self.dtype)
+        y = y + bias.astype(self.dtype)
+        return y[..., 0, :], y[..., 1, :], y[..., 2, :]
+
+
 class BertPooler(nn.Module):
     """Take token 0 -> Linear -> Tanh (ref: models/modeling_unimo.py:515-527).
 

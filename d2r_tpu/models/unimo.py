@@ -49,6 +49,7 @@ class D2RModel(nn.Module):
         deterministic: bool = True,
         use_running_average: bool = True,
         sentic_adj: Array = None,  # (B, L, L) affective adjacency (optional)
+        valid: Array = None,       # (B,) row mask for wrap-padded batches
     ) -> Tuple[Array, Array]:
         c = self.cfg
         dtype = c.dtype
@@ -100,12 +101,14 @@ class D2RModel(nn.Module):
             c, reversed_mode=True, dtype=dtype, name="Reversed_itr_module")(
             text_out, vision_out, use_running_average)
 
-        # --- CLS Gram matrices + (negative) JS loss (ref: :845-849) ---
+        # --- CLS Gram matrices + (negative) JS loss (ref: :845-849).
+        # `valid` masks wrap-padded rows out of the Gram softmaxes + batchmean
+        # so the padded-batch loss equals the reference's ragged-batch loss. ---
         sim_text = jnp.matmul(text_cls, text_cls.T, preferred_element_type=jnp.float32)
         sim_vision = jnp.matmul(vision_cls, vision_cls.T, preferred_element_type=jnp.float32)
         js_loss = path_consistency_loss(
             sim_paths, sim_text, rev_sim_paths, sim_vision,
-            c.weight_js_1, c.weight_js_2)
+            c.weight_js_1, c.weight_js_2, valid=valid)
 
         # --- fusion (ref: :871-884). Both poolers use the TEXT config
         # (ref: :778-779), even the vision-side one. ---
@@ -138,7 +141,7 @@ class D2RClassifier(nn.Module):
     ) -> Tuple[Array, Array, Dict[str, Array]]:
         pooled, js_loss = D2RModel(self.cfg, name="model")(
             input_ids, attention_mask, token_type_ids, pixel_values,
-            deterministic, use_running_average, sentic_adj)
+            deterministic, use_running_average, sentic_adj, valid)
         # 'fc' is top-level so the reference's startswith('fc') optimiser
         # group (lr 5e-2, ref: modules/train.py:314-320) maps onto it.
         from d2r_tpu.models.layers import TorchLinear

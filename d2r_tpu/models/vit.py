@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from d2r_tpu.config import VisionEncoderConfig
-from d2r_tpu.models.layers import ACT2FN, TorchLinear
+from d2r_tpu.models.layers import ACT2FN, QKVDense, TorchLinear
 from d2r_tpu.ops.attention import (
     dot_product_attention,
     merge_heads,
@@ -69,9 +69,8 @@ class CLIPAttention(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
-        # fused QKV (see bert.py note)
-        qkv = TorchLinear(3 * c.hidden_size, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # fused head-aligned QKV (see layers.py QKVDense)
+        q, k, v = QKVDense(c.hidden_size, dtype=self.dtype, name="qkv")(x)
         rng = None
         if not deterministic and c.attention_dropout > 0:
             rng = self.make_rng("dropout")

@@ -91,8 +91,16 @@ def flash_attention_forward(
     scale: float,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused attention forward. q: (B,H,L,D); k,v: (B,H,S,D); key_bias: (B,S)."""
+    """Fused attention forward. q: (B,H,L,D); k,v: (B,H,S,D); key_bias: (B,S).
+
+    ``interpret`` defaults to automatic: off on TPU (real Mosaic kernel), ON
+    elsewhere — so the kernel's logic is unit-testable on the CPU test mesh
+    (pallas interpret mode executes the same grid/block program in pure XLA).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, l, d = q.shape
     s = k.shape[2]
     # TPU tiling: block sublane dims must be multiples of 8 (or the full dim)
@@ -138,6 +146,7 @@ def flash_attention_forward(
             bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
             transcendentals=b * h * lp * sp,
         ),
+        interpret=interpret,
     )(qp, kp, vp, biasp)
 
     return out[:, :, :l, :]

@@ -28,7 +28,8 @@ def kl_div_batchmean(log_input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray
     return jnp.sum(pointwise) / target.shape[0]
 
 
-def js_div(p_logits: jnp.ndarray, q_logits: jnp.ndarray, get_softmax: bool = True) -> jnp.ndarray:
+def js_div(p_logits: jnp.ndarray, q_logits: jnp.ndarray, get_softmax: bool = True,
+           valid=None) -> jnp.ndarray:
     """Symmetric JS divergence of two row-softmaxed similarity matrices.
 
     Mirrors ref: models/XModules.py:32-41 — softmax over the last axis,
@@ -40,12 +41,31 @@ def js_div(p_logits: jnp.ndarray, q_logits: jnp.ndarray, get_softmax: bool = Tru
     0 via xlogy, and the mean is clamped where the target is 0 so gradients
     stay finite. This matters for the scaled (1024-dim) configs, whose Gram
     logits are spread widely enough for softmax rows to hit exact zeros.
+
+    ``valid`` (optional, (B,) bool/0-1): with static-shape wrap-padded batches
+    the Gram matrices carry duplicated rows/columns; masking excludes invalid
+    COLUMNS from each row softmax and invalid ROWS from the batchmean (divides
+    by the valid count), which makes the result identical to computing JS over
+    just the valid r x r submatrix — exactly what the reference computes on
+    its ragged final batch (ref: models/modeling_unimo.py:845-849). All-valid
+    reduces bit-identically to the unmasked path semantics.
     """
-    if get_softmax:
+    if valid is not None and get_softmax:
+        v = valid.astype(jnp.float32)
+        col_bias = (1.0 - v)[None, :] * -1e30  # exclude invalid columns
+        p = jax.nn.softmax(p_logits.astype(jnp.float32) + col_bias, axis=-1)
+        q = jax.nn.softmax(q_logits.astype(jnp.float32) + col_bias, axis=-1)
+        row_mask = v[:, None]
+        denom = jnp.maximum(jnp.sum(v), 1.0)
+    elif get_softmax:
         p = jax.nn.softmax(p_logits.astype(jnp.float32), axis=-1)
         q = jax.nn.softmax(q_logits.astype(jnp.float32), axis=-1)
+        row_mask = None
+        denom = p_logits.shape[0]
     else:
         p, q = p_logits, q_logits
+        row_mask = None
+        denom = p.shape[0]
     m = (p + q) / 2.0
 
     def kl_vs_mean(t):
@@ -54,7 +74,9 @@ def js_div(p_logits: jnp.ndarray, q_logits: jnp.ndarray, get_softmax: bool = Tru
         safe_m = jnp.where(pos, m, 1.0)    # t>0 implies m >= t/2 > 0
         pointwise = jnp.where(
             pos, safe_t * (jnp.log(safe_t) - jnp.log(safe_m)), 0.0)
-        return jnp.sum(pointwise) / t.shape[0]
+        if row_mask is not None:
+            pointwise = pointwise * row_mask
+        return jnp.sum(pointwise) / denom
 
     return (kl_vs_mean(p) + kl_vs_mean(q)) / 2.0
 
@@ -66,6 +88,7 @@ def path_consistency_loss(
     sim_vision: jnp.ndarray,
     weight_js_1: float,
     weight_js_2: float,
+    valid=None,
 ) -> jnp.ndarray:
     """The reference's js_loss, NEGATIVE sign included.
 
@@ -73,10 +96,13 @@ def path_consistency_loss(
     (ref: models/modeling_unimo.py:848-849). As written this *rewards*
     divergence between path signatures and CLS similarity structure; the
     reference adds it verbatim to the CE loss and we reproduce that.
+
+    ``valid`` masks wrap-padded Gram rows/columns (see js_div) so the loss on
+    a static-shape padded batch equals the reference's on its ragged batch.
     """
     return (
-        -weight_js_1 * js_div(sim_paths, sim_text)
-        - weight_js_2 * js_div(reversed_sim_paths, sim_vision)
+        -weight_js_1 * js_div(sim_paths, sim_text, valid=valid)
+        - weight_js_2 * js_div(reversed_sim_paths, sim_vision, valid=valid)
     )
 
 

@@ -60,9 +60,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # encoder matmuls are sharded; routers/cells/poolers stay replicated (they
 # are small and batch-bound).
 _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
-    # attention projections: shard output features (heads)
-    (r"(qkv|sa_qkv|query|key|value|q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
-    (r"(qkv|sa_qkv|query|key|value|q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
+    # fused head-aligned qkv (in, 3, h): shard the per-projection hidden axis
+    # so every shard owns whole attention heads (layers.py QKVDense)
+    (r"(qkv|sa_qkv)/kernel$", P(None, None, MODEL_AXIS)),
+    (r"(qkv|sa_qkv)/bias$", P(None, MODEL_AXIS)),
+    # separate attention projections: shard output features (heads)
+    (r"(query|key|value|q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
+    (r"(query|key|value|q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
     # attention output projection: shard input features
     (r"(attention_output/dense|out_proj)/kernel$", P(MODEL_AXIS, None)),
     # MLP up-projection: shard hidden
@@ -112,8 +116,39 @@ def make_param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def _data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape.get(DATA_AXIS, 1)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, sharded over the data axis."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    """Place a host batch dict onto the mesh, sharded over the data axis.
+
+    Batches whose leading dim does not divide the data-axis size (tiny test
+    batches on the 8-device CPU mesh) fall back to replication — the jitted
+    step computes identical global math either way, only the layout differs.
+    """
+    n = _data_axis_size(mesh)
+    sharded = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def place(x):
+        ok = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+        return jax.device_put(x, sharded if ok else rep)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def shard_stacked_batch(stacked, mesh: Mesh):
+    """Place a (K, B, ...) stacked batch dict onto the mesh: the scan axis K
+    stays unsharded, the batch axis shards over 'data' (multi-step dispatch,
+    train/state.py make_multi_step). Indivisible batch dims replicate, as in
+    :func:`shard_batch`."""
+    n = _data_axis_size(mesh)
+    sharded = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep = replicated(mesh)
+
+    def place(x):
+        ok = np.ndim(x) >= 2 and np.shape(x)[1] % n == 0
+        return jax.device_put(x, sharded if ok else rep)
+
+    return jax.tree_util.tree_map(place, stacked)

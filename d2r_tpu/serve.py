@@ -72,8 +72,28 @@ class Predictor:
         token_type_ids: np.ndarray,
         pixel_values: np.ndarray,
     ) -> Dict[str, np.ndarray]:
-        """Pad to the nearest (batch, seq) bucket, run, strip padding."""
+        """Pad to the nearest (batch, seq) bucket, run, strip padding.
+
+        Requests larger than the biggest batch bucket are chunked across
+        multiple bucket-sized calls; sequences longer than the biggest seq
+        bucket are rejected (truncation would silently change predictions).
+        """
         n, l = input_ids.shape
+        if l > self.seq_buckets[-1]:
+            raise ValueError(
+                f"sequence length {l} exceeds the largest configured seq "
+                f"bucket {self.seq_buckets[-1]}; tokenize/truncate to "
+                f"max_seq before calling predict")
+        max_b = self.batch_buckets[-1]
+        if n > max_b:
+            outs = [
+                self.predict(input_ids[i:i + max_b],
+                             attention_mask[i:i + max_b],
+                             token_type_ids[i:i + max_b],
+                             pixel_values[i:i + max_b])
+                for i in range(0, n, max_b)
+            ]
+            return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
         b = self._bucket(self.batch_buckets, n)
         lb = self._bucket(self.seq_buckets, l)
 

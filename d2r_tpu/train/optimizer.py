@@ -43,16 +43,26 @@ def param_group_label(path: str) -> str:
 
 
 def linear_warmup_decay(base_lr: float, warmup_steps: float, total_steps: int):
-    """HF linear schedule: step/warmup then (total-step)/(total-warmup)."""
-    warmup = max(int(round(warmup_steps)), 0)
-    total = max(int(total_steps), warmup + 1)
-    return optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, base_lr, max(warmup, 1)),
-            optax.linear_schedule(base_lr, 0.0, total - warmup),
-        ],
-        [max(warmup, 1)] if warmup > 0 else [0],
-    )
+    """HF get_linear_schedule_with_warmup semantics, implemented as the HF
+    lambda directly — with FLOAT warmup: the reference passes
+    ``warmup_ratio * train_num_steps`` unrounded (ref: modules/train.py:326-328)
+    and HF uses that fractional value in both the warmup divisor and the decay
+    denominator, so we must not round it either.
+
+        lambda(step) = step / max(1, warmup)              if step < warmup
+                       max(0, (total-step)/max(1, total-warmup))  otherwise
+    """
+    warmup_f = max(float(warmup_steps), 0.0)
+    total_f = float(total_steps)
+
+    def schedule(count):
+        step = jnp.asarray(count, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_f)
+        decay = jnp.maximum(
+            0.0, (total_f - step) / jnp.maximum(1.0, total_f - warmup_f))
+        return base_lr * jnp.where(step < warmup_f, warm, decay)
+
+    return schedule
 
 
 def _adamw(lr_schedule) -> optax.GradientTransformation:
@@ -161,8 +171,9 @@ def grouped_adamw(cfg: D2RConfig, total_steps: int) -> optax.GradientTransformat
 
         return optax.GradientTransformation(init_fn, update_fn)
 
+    mu_dtype = getattr(cfg, "adam_mu_dtype", "float32")
     return optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype),
         optax.add_decayed_weights(1e-2),
         scale_by_group_lr(),
     )
@@ -170,11 +181,19 @@ def grouped_adamw(cfg: D2RConfig, total_steps: int) -> optax.GradientTransformat
 
 def make_optimizer(cfg: D2RConfig, total_steps: int,
                    params: Optional[Any] = None) -> optax.GradientTransformation:
-    """With ``params`` (a template tree): the single-chain grouped AdamW
-    (fast TPU path). Without: the reference-shaped 4-group
-    optax.multi_transform (identical math, 4x the per-leaf kernels — fine on
-    CPU, used as the oracle in tests)."""
-    if params is not None:
+    """With ``params`` (a template tree): the TPU-fast implementation chosen
+    by ``cfg.optimizer_impl`` — 'grouped' (default: one scale_by_adam chain +
+    per-leaf group lr) or 'fused' (one flat moment buffer per lr-group).
+    Without ``params``: the reference-shaped 4-group optax.multi_transform
+    (identical math, 4x the per-leaf kernels — fine on CPU, used as the
+    oracle in tests). All three match bit-for-bit at fp32
+    (tests/test_fused_optimizer.py)."""
+    impl = getattr(cfg, "optimizer_impl", "grouped")
+    if params is not None and impl != "multi_transform":
+        if impl == "fused":
+            return fused_adamw(cfg, total_steps, params)
+        if impl != "grouped":
+            raise ValueError(f"unknown optimizer_impl: {impl!r}")
         return grouped_adamw(cfg, total_steps)
 
     warmup = cfg.warmup_ratio * total_steps

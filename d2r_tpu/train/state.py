@@ -41,8 +41,9 @@ def _model_inputs(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch,
                        total_steps: int = 1000) -> TrainState:
     """Init variables and build the train state. Pass ``tx=None`` to get the
-    fused flat-buffer AdamW (train/optimizer.py) built against the freshly
-    initialised param tree — the fast path on TPU."""
+    TPU-fast AdamW selected by ``cfg.optimizer_impl`` (train/optimizer.py,
+    default: single-chain grouped) built against the freshly initialised
+    param tree."""
     variables = jax.jit(functools.partial(model.init))(
         rng, **_model_inputs(sample_batch))
     if tx is None:

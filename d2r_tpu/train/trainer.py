@@ -24,13 +24,16 @@ from typing import Dict, Iterable, Optional
 import jax
 import numpy as np
 
+import jax.numpy as jnp
+
 from d2r_tpu.config import D2RConfig
-from d2r_tpu.parallel.mesh import make_mesh, shard_batch
+from d2r_tpu.parallel.mesh import make_mesh, shard_batch, shard_stacked_batch
 from d2r_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from d2r_tpu.train.metrics import get_four_metrics
 from d2r_tpu.train.state import (
     create_train_state,
     make_eval_step,
+    make_multi_step,
     make_train_step,
 )
 
@@ -81,6 +84,7 @@ class Trainer(BaseTrainer):
 
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
         self._train_step = make_train_step(model)
+        self._multi_steps = {}  # K -> jitted K-step scan program
         self._eval_step = make_eval_step(model)
         self.state = None
 
@@ -121,28 +125,69 @@ class Trainer(BaseTrainer):
             self.logger.info("Load model successful!")
 
         dropout_rng = jax.random.key(cfg.seed + 1)
-        avg_loss, window = 0.0, 0
         t_start = time.time()
         seen = 0
+        window_losses = []  # DEVICE loss scalars/vectors pending fetch
+        window_steps = 0
+        last_log_step = 0
 
+        def flush_log(epoch):
+            # ONE stacked device->host transfer for the whole window instead
+            # of a ~27ms tunnel roundtrip per step (the round-1 trainer paid
+            # float(loss) every step; bench and trainer now share the same
+            # dispatch shape).
+            nonlocal window_losses, window_steps, last_log_step
+            if not window_losses:
+                return
+            if len(window_losses) == 1:
+                losses = np.atleast_1d(np.asarray(window_losses[0]))
+            else:  # concat on device -> one host transfer for the window
+                losses = np.asarray(jnp.concatenate(
+                    [jnp.atleast_1d(x) for x in window_losses]))
+            avg = float(losses.mean())
+            self.logger.info("epoch %d step %d loss:%.5f", epoch, self.step, avg)
+            if self.writer:
+                self.writer.add_scalar("train_loss", avg, self.step)
+            window_losses, window_steps = [], 0
+            last_log_step = self.step
+
+        def dispatch(buf, epoch):
+            """Run len(buf) train steps in one device program."""
+            nonlocal seen, window_losses, window_steps
+            k = len(buf)
+            for b in buf:
+                seen += int(np.sum(np.asarray(b.get("valid", cfg.batch_size))))
+            if k == 1:
+                batch = shard_batch(buf[0], self.mesh)
+                self.state, metrics = self._train_step(
+                    self.state, batch, dropout_rng)
+                window_losses.append(metrics["loss"])
+            else:
+                if k not in self._multi_steps:
+                    self._multi_steps[k] = make_multi_step(self.model, k)
+                stacked = {key: np.stack([b[key] for b in buf])
+                           for key in buf[0]}
+                stacked = shard_stacked_batch(stacked, self.mesh)
+                self.state, metrics = self._multi_steps[k](
+                    self.state, stacked, dropout_rng)
+                window_losses.append(metrics["losses"])
+            self.step += k
+            window_steps += k
+            if self.step - last_log_step >= cfg.log_steps:
+                flush_log(epoch)
+
+        steps_per_dispatch = max(int(cfg.steps_per_dispatch), 1)
         with self.mesh:
             for epoch in range(1, cfg.num_epochs + 1):
+                buf = []
                 for batch in self.train_data:
-                    self.step += 1
-                    batch = shard_batch(batch, self.mesh)
-                    self.state, metrics = self._train_step(
-                        self.state, batch, dropout_rng)
-                    seen += int(np.sum(np.asarray(batch.get("valid", cfg.batch_size))))
-                    avg_loss += float(metrics["loss"])
-                    window += 1
-                    if self.step % cfg.log_steps == 0:
-                        self.logger.info(
-                            "epoch %d step %d loss:%.5f", epoch, self.step,
-                            avg_loss / max(window, 1))
-                        if self.writer:
-                            self.writer.add_scalar("train_loss",
-                                                   avg_loss / max(window, 1), self.step)
-                        avg_loss, window = 0.0, 0
+                    buf.append(batch)
+                    if len(buf) == steps_per_dispatch:
+                        dispatch(buf, epoch)
+                        buf = []
+                if buf:
+                    dispatch(buf, epoch)
+                flush_log(epoch)
 
                 if epoch >= cfg.eval_begin_epoch:
                     self.evaluate(epoch)
@@ -167,7 +212,11 @@ class Trainer(BaseTrainer):
         return result
 
     # ------------------------------------------------------------------
-    def _run_eval(self, data: Iterable, desc: str) -> Dict[str, float]:
+    def _run_eval(self, data: Iterable, desc: str):
+        """Returns (metrics_dict, true_labels, pred_labels). The eval loss is
+        exact on wrap-padded final batches: CE and JS are both valid-masked in
+        the model, so the summed loss equals the reference's over its ragged
+        batches (ref: modules/train.py:174-188)."""
         true_labels, pred_labels = [], []
         total_loss = 0.0
         with self.mesh:
@@ -183,11 +232,9 @@ class Trainer(BaseTrainer):
         m = get_four_metrics(true_labels, pred_labels, average="weighted",
                              num_classes=self.cfg.num_classes)
         m["loss"] = total_loss
-        m["_true_labels"] = true_labels
-        m["_pred_labels"] = pred_labels
-        return m
+        return m, true_labels, pred_labels
 
-    def _write_predictions(self, m: Dict) -> None:
+    def _write_predictions(self, true_labels, pred_labels) -> None:
         """--write_path: dump test predictions as JSON. The reference
         declares the flag (ref: run.py:52-53) but never implements it;
         this makes it functional."""
@@ -196,14 +243,14 @@ class Trainer(BaseTrainer):
         import json
         os.makedirs(os.path.dirname(self.cfg.write_path) or ".", exist_ok=True)
         with open(self.cfg.write_path, "w", encoding="utf-8") as f:
-            json.dump({"true_labels": m["_true_labels"],
-                       "pred_labels": m["_pred_labels"]}, f)
+            json.dump({"true_labels": true_labels,
+                       "pred_labels": pred_labels}, f)
         self.logger.info("Wrote predictions to %s", self.cfg.write_path)
 
     def evaluate(self, epoch: int) -> Dict[str, float]:
         """Dev eval + best-F1 checkpointing (ref: modules/train.py:161-218)."""
         self.logger.info("***** Running evaluate *****")
-        m = self._run_eval(self.dev_data, "Dev")
+        m, _, _ = self._run_eval(self.dev_data, "Dev")
         result = {
             "eval_accuracy": m["accuracy"], "precision": m["precision"],
             "recall": m["recall"], "f_score": m["f_score"],
@@ -227,8 +274,8 @@ class Trainer(BaseTrainer):
     def test(self, epoch: int) -> Dict[str, float]:
         """(ref: modules/train.py:220-278)."""
         self.logger.info("***** Running testing *****")
-        m = self._run_eval(self.test_data, "Testing")
-        self._write_predictions(m)
+        m, true_labels, pred_labels = self._run_eval(self.test_data, "Testing")
+        self._write_predictions(true_labels, pred_labels)
         result = {
             "eval_accuracy": m["accuracy"], "precision": m["precision"],
             "recall": m["recall"], "f_score": m["f_score"],

@@ -21,8 +21,11 @@ from typing import Any, Dict, Set, Tuple
 import numpy as np
 
 # Keys in the source dicts that the live model never consumes.
+# position_ids / token_type_ids are deterministic registered buffers that
+# older transformers versions persist in state_dict; they carry no weights.
 _CLIP_UNUSED_PREFIXES = ("post_layernorm.",)
-_BERT_UNUSED_PREFIXES = ("pooler.",)
+_BERT_UNUSED_PREFIXES = ("pooler.", "embeddings.position_ids",
+                         "embeddings.token_type_ids")
 
 
 def _np(t) -> np.ndarray:
@@ -51,13 +54,14 @@ def _linear(dst: Tuple[str, ...], src: str):
 
 
 def _fused_qkv(dst: Tuple[str, ...], q: str, k: str, v: str):
-    """Three torch Linears -> the fused (in, 3h) qkv kernel (models/bert.py)."""
+    """Three torch Linears -> the fused head-aligned (in, 3, h) qkv kernel
+    (models/layers.py QKVDense)."""
     return [
         (dst + ("kernel",), (q + ".weight", k + ".weight", v + ".weight"),
-         lambda qw, kw, vw: np.concatenate(
+         lambda qw, kw, vw: np.stack(
              [_np(qw).T, _np(kw).T, _np(vw).T], axis=1)),
         (dst + ("bias",), (q + ".bias", k + ".bias", v + ".bias"),
-         lambda qb, kb, vb: np.concatenate([_np(qb), _np(kb), _np(vb)])),
+         lambda qb, kb, vb: np.stack([_np(qb), _np(kb), _np(vb)])),
     ]
 
 

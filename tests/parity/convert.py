@@ -43,12 +43,13 @@ def embed(mod):
 
 
 def fused_qkv(q_lin, k_lin, v_lin):
-    """Three torch Linears -> one fused (in, 3h) kernel (see models/bert.py)."""
+    """Three torch Linears -> one fused head-aligned (in, 3, h) kernel
+    (see models/layers.py QKVDense)."""
     return {
-        "kernel": np.concatenate(
+        "kernel": np.stack(
             [t2n(q_lin.weight).T, t2n(k_lin.weight).T, t2n(v_lin.weight).T],
             axis=1),
-        "bias": np.concatenate(
+        "bias": np.stack(
             [t2n(q_lin.bias), t2n(k_lin.bias), t2n(v_lin.bias)]),
     }
 

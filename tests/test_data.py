@@ -141,3 +141,12 @@ class TestSentic:
         # padding rows keep unit diagonal
         np.testing.assert_allclose(out[1, 3, 3], 1.0)
         np.testing.assert_allclose(out[1, 2, 3], 0.0)
+
+    def test_vendored_lexicon_loads_by_default(self):
+        # the reference's 39,891-entry asset is vendored
+        # (ref: processor/senticnet_word.txt)
+        from d2r_tpu.data.sentic import load_sentic_lexicon
+        lex = load_sentic_lexicon()
+        assert len(lex) == 39891
+        np.testing.assert_allclose(lex["bombastic"], -0.96)
+        assert all(-1.0 <= v <= 1.0 for v in lex.values())

@@ -97,6 +97,30 @@ class TestLosses:
         a = jnp.asarray(np.random.default_rng(5).normal(size=(4, 4)), jnp.float32)
         assert abs(float(js_div(a, a))) < 1e-6
 
+    def test_js_div_valid_mask_equals_submatrix(self):
+        # masked JS over a wrap-padded (B,B) Gram == plain JS over the valid
+        # (r,r) submatrix — the reference's ragged-final-batch math
+        # (ref: models/modeling_unimo.py:845-849)
+        rng = np.random.default_rng(7)
+        B, r = 8, 5
+        p = rng.normal(size=(B, B)).astype(np.float32)
+        q = rng.normal(size=(B, B)).astype(np.float32)
+        valid = np.zeros(B, bool)
+        valid[:r] = True
+        masked = float(js_div(jnp.asarray(p), jnp.asarray(q),
+                              valid=jnp.asarray(valid)))
+        sub = float(js_div(jnp.asarray(p[:r, :r]), jnp.asarray(q[:r, :r])))
+        np.testing.assert_allclose(masked, sub, rtol=1e-6)
+
+    def test_js_div_all_valid_equals_unmasked(self):
+        rng = np.random.default_rng(8)
+        p = rng.normal(size=(6, 6)).astype(np.float32)
+        q = rng.normal(size=(6, 6)).astype(np.float32)
+        ones = jnp.ones(6, bool)
+        np.testing.assert_allclose(
+            float(js_div(jnp.asarray(p), jnp.asarray(q), valid=ones)),
+            float(js_div(jnp.asarray(p), jnp.asarray(q))), rtol=1e-6)
+
     def test_cross_entropy_matches_torch(self):
         torch = pytest.importorskip("torch")
         rng = np.random.default_rng(6)

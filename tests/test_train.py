@@ -109,6 +109,89 @@ class TestTrainState:
         assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
 
 
+class TestMultiStepDispatch:
+    """The trainer's K-steps-per-dispatch scan path (train/state.py
+    make_multi_step) must be mathematically identical to K single jitted
+    steps — this closes the round-1 trainer/bench measurement gap."""
+
+    def _copy(self, st):
+        return jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, st)
+
+    def test_multi_step_matches_single_steps(self):
+        from d2r_tpu.train.state import make_multi_step
+        cfg = tiny_test_config(batch_size=4)
+        model = D2RClassifier(cfg)
+        batches = [_tiny_batch(cfg, seed=s) for s in range(3)]
+        state = create_train_state(model, cfg, None, jax.random.key(0),
+                                   batches[0], total_steps=50)
+        rng = jax.random.key(1)
+
+        sa = self._copy(state)
+        step = make_train_step(model)
+        losses_a = []
+        for b in batches:
+            sa, m = step(sa, b, rng)
+            losses_a.append(float(m["loss"]))
+
+        sb = self._copy(state)
+        stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        sb, m = make_multi_step(model, 3)(sb, stacked, rng)
+
+        np.testing.assert_allclose(np.asarray(m["losses"]), losses_a,
+                                   rtol=1e-5, atol=1e-6)
+        assert int(sb.step) == int(sa.step) == 3
+        for x, y in zip(jax.tree_util.tree_leaves(sa.params),
+                        jax.tree_util.tree_leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_trainer_dispatch_grouping_invariance(self):
+        """Full Trainer runs with steps_per_dispatch 1 vs 4 land on the same
+        parameters (same seed, same data order)."""
+        from d2r_tpu.train.trainer import Trainer
+
+        def run(k):
+            cfg = tiny_test_config(batch_size=4, num_epochs=2,
+                                   eval_begin_epoch=99, save_path=None,
+                                   steps_per_dispatch=k)
+            model = D2RClassifier(cfg)
+            data = [_tiny_batch(cfg, seed=s) for s in range(6)]
+            tr = Trainer(train_data=data, dev_data=None, test_data=None,
+                         model=model, cfg=cfg)
+            tr.train()
+            assert tr.step == 12
+            return tr.state
+
+        s1, s4 = run(1), run(4)
+        for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s4.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-7)
+
+
+class TestWrappedBatchExactness:
+    def test_eval_loss_identical_full_vs_wrapped(self):
+        """Eval loss on a wrap-padded static batch == eval loss on the ragged
+        batch the reference would see (CE and JS both valid-masked)."""
+        cfg = tiny_test_config(batch_size=8)
+        model = D2RClassifier(cfg)
+        full = _tiny_batch(cfg, seed=3)
+        r = 5
+        small = {k: np.asarray(v)[:r] for k, v in full.items()}
+        small["valid"] = np.ones(r, bool)
+        wrapped = {k: np.concatenate([np.asarray(v)[:r], np.asarray(v)[:8 - r]])
+                   for k, v in full.items()}
+        wrapped["valid"] = np.array([True] * r + [False] * (8 - r))
+
+        state = create_train_state(model, cfg, None, jax.random.key(0),
+                                   wrapped, total_steps=10)
+        eval_step = make_eval_step(model)
+        loss_wrapped = float(eval_step(state, wrapped)["loss"])
+        loss_small = float(eval_step(state, small)["loss"])
+        np.testing.assert_allclose(loss_wrapped, loss_small, rtol=1e-5)
+
+
 class TestMultichip:
     def test_dryrun_8_devices(self, eight_devices):
         import __graft_entry__

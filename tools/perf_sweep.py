@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Sequential perf sweep over step-level knobs on the real TPU.
+
+Measures the flagship multi-step program (same methodology as bench.py:
+median of >=3 windows, device->host sync, roundtrip subtracted) for a list
+of config variants, appending one JSON line per variant to --out. Used to
+pick the shipping defaults; bench.py stays the single-config official
+artifact.
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+BATCH_SIZE = 64
+MAX_SEQ = 64
+MEASURE_STEPS = 30
+NUM_WINDOWS = 3
+
+VARIANTS = {
+    "baseline": {},
+    "remat": {"remat": True},
+    "mu_bf16": {"adam_mu_dtype": "bfloat16"},
+    "fused_opt": {"optimizer_impl": "fused"},
+    "remat+mu_bf16": {"remat": True, "adam_mu_dtype": "bfloat16"},
+}
+
+
+def measure(overrides):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d2r_tpu.config import D2RConfig
+    from d2r_tpu.data.dataset import synthetic_batch
+    from d2r_tpu.models.unimo import D2RClassifier
+    from d2r_tpu.train.state import create_train_state, make_multi_step
+
+    cfg = D2RConfig(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
+                    compute_dtype="bfloat16", use_pallas=True, **overrides)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch_np = synthetic_batch(BATCH_SIZE, MAX_SEQ, vc.image_size,
+                               vocab_size=cfg.text_config().vocab_size, seed=0)
+    batch = {k: jax.device_put(v) for k, v in batch_np.items()}
+    state = create_train_state(model, cfg, None, jax.random.key(0), batch,
+                               total_steps=1000)
+    multi_step = make_multi_step(model, MEASURE_STEPS)
+    stacked = {k: jnp.broadcast_to(jnp.asarray(v)[None],
+                                   (MEASURE_STEPS,) + np.shape(v))
+               for k, v in batch.items()}
+    t0 = time.perf_counter()
+    state, metrics = multi_step(state, stacked, jax.random.key(1))
+    _ = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(metrics["losses"][0])
+        rts.append(time.perf_counter() - t0)
+    roundtrip = statistics.median(rts)
+
+    nets = []
+    loss = None
+    for _ in range(NUM_WINDOWS):
+        t0 = time.perf_counter()
+        state, metrics = multi_step(state, stacked, jax.random.key(1))
+        loss = float(metrics["loss"])
+        el = time.perf_counter() - t0
+        if el <= roundtrip:
+            raise RuntimeError("window <= roundtrip")
+        nets.append(el - roundtrip)
+    net = statistics.median(nets)
+    assert np.isfinite(loss), loss
+    return {
+        "samples_per_sec": round(BATCH_SIZE * MEASURE_STEPS / net, 1),
+        "step_ms": round(net / MEASURE_STEPS * 1e3, 2),
+        "roundtrip_ms": round(roundtrip * 1e3, 2),
+        "compile_or_warm_s": round(compile_s, 1),
+        "loss": round(loss, 5),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--out", default="/tmp/perf_sweep.jsonl")
+    args = ap.parse_args()
+
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from d2r_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    for name in args.variants.split(","):
+        overrides = VARIANTS[name]
+        print(f"=== {name}: {overrides}", file=sys.stderr, flush=True)
+        try:
+            result = {"variant": name, **measure(overrides)}
+        except Exception as e:  # keep sweeping; record the failure
+            result = {"variant": name, "error": repr(e)}
+        line = json.dumps(result)
+        print(line, flush=True)
+        with open(args.out, "a", encoding="utf-8") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--batches", default="1,8,32")
     ap.add_argument("--max_seq", default=64, type=int)
     ap.add_argument("--iters", default=20, type=int)
+    ap.add_argument("--out", default="SERVE_BENCH.json",
+                    help="driver-capturable JSON artifact path ('' disables)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +68,19 @@ def main():
         print(f"batch {b:>3}: e2e p50 {full['p50']*1e3:8.2f} ms | "
               f"model p50 {model['p50']*1e3:8.2f} ms  p95 {model['p95']*1e3:8.2f} ms "
               f"({b/model['p50']:8.1f} samples/s model-side)")
-    print(json.dumps({"metric": "inference_latency_ms", "value": results}))
+    payload = {
+        "metric": "inference_latency_ms",
+        "value": results,
+        "p50_batch1_model_ms": results.get("batch_1", {}).get(
+            "model_ms", {}).get("p50"),
+        "iters": args.iters,
+        "max_seq": args.max_seq,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
