@@ -91,7 +91,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_sentic_graph", action="store_true",
                    help="enable SenticNet affective-graph GCN refinement")
     p.add_argument("--sentic_lexicon", default=None, type=str,
-                   help="path to senticnet_word.txt (word\\tpolarity per line)")
+                   help="path to senticnet_word.txt (default: vendored asset)")
+    p.add_argument("--steps_per_dispatch", default=16, type=int,
+                   help="train steps fused into one device program (lax.scan)")
+    p.add_argument("--optimizer_impl", default="grouped",
+                   choices=["grouped", "fused", "multi_transform"])
+    p.add_argument("--adam_mu_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     return p
 
 
@@ -153,6 +159,9 @@ def config_from_args(args) -> D2RConfig:
         use_pallas=not args.no_pallas, remat=args.remat,
         mesh_shape=mesh_shape, mesh_axis_names=axis_names,
         debug_nans=args.debug_nans, profile_dir=args.profile_dir,
+        steps_per_dispatch=args.steps_per_dispatch,
+        optimizer_impl=args.optimizer_impl,
+        adam_mu_dtype=args.adam_mu_dtype,
     )
 
 

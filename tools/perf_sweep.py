@@ -25,10 +25,18 @@ VARIANTS = {
     "mu_bf16": {"adam_mu_dtype": "bfloat16"},
     "fused_opt": {"optimizer_impl": "fused"},
     "remat+mu_bf16": {"remat": True, "adam_mu_dtype": "bfloat16"},
+    # _prng_impl is handled specially (global jax config, not a D2RConfig
+    # field): 'rbg' swaps threefry for the TPU-native RBG generator — the
+    # recipe trains with dropout on, and threefry bit generation is pure VPU
+    # work at every dropout site.
+    "rbg": {"_prng_impl": "rbg"},
+    "no_dropout_probe": {"_deterministic_probe": True},
 }
 
 
 def measure(overrides):
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,7 +44,14 @@ def measure(overrides):
     from d2r_tpu.config import D2RConfig
     from d2r_tpu.data.dataset import synthetic_batch
     from d2r_tpu.models.unimo import D2RClassifier
-    from d2r_tpu.train.state import create_train_state, make_multi_step
+    from d2r_tpu.train.state import (_model_inputs, create_train_state,
+                                     make_multi_step)
+
+    overrides = dict(overrides)
+    prng_impl = overrides.pop("_prng_impl", None)
+    det_probe = overrides.pop("_deterministic_probe", False)
+    if prng_impl:
+        jax.config.update("jax_default_prng_impl", prng_impl)
 
     cfg = D2RConfig(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
                     compute_dtype="bfloat16", use_pallas=True, **overrides)
@@ -47,7 +62,32 @@ def measure(overrides):
     batch = {k: jax.device_put(v) for k, v in batch_np.items()}
     state = create_train_state(model, cfg, None, jax.random.key(0), batch,
                                total_steps=1000)
-    multi_step = make_multi_step(model, MEASURE_STEPS)
+
+    if det_probe:
+        # Diagnostic ONLY: the same K-step scan with dropout disabled
+        # (deterministic=True) — bounds the total cost of dropout masks+RNG.
+        def det_step(state, batch, rng):
+            def loss_fn(params):
+                (loss, logits, aux), mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    **_model_inputs(batch), deterministic=True,
+                    use_running_average=False, mutable=["batch_stats"])
+                return loss, (logits, aux, mutated)
+            (loss, (_, _, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(
+                grads=grads, batch_stats=mutated["batch_stats"])
+            return state, loss
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state, stacked, rng):
+            def body(carry, b):
+                return det_step(carry, b, rng)
+            state, losses = jax.lax.scan(body, state, stacked,
+                                         length=MEASURE_STEPS)
+            return state, {"loss": losses[-1], "losses": losses}
+    else:
+        multi_step = make_multi_step(model, MEASURE_STEPS)
     stacked = {k: jnp.broadcast_to(jnp.asarray(v)[None],
                                    (MEASURE_STEPS,) + np.shape(v))
                for k, v in batch.items()}
