@@ -77,7 +77,9 @@ def main() -> None:
 
     state = create_train_state(model, cfg, None, jax.random.key(0), batch,
                                total_steps=1000)
-    rng = jax.random.key(1)
+    # dropout stream uses the config's PRNG impl (rbg on TPU — see
+    # D2RConfig.prng_impl; the trainer does the same)
+    rng = jax.random.key(1, impl=cfg.prng_impl)
 
     # MEASURE_STEPS chained steps inside ONE jitted lax.scan program: this is
     # the production input-prefetched training loop shape (train/state.py

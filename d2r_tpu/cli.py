@@ -98,6 +98,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["grouped", "fused", "multi_transform"])
     p.add_argument("--adam_mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--prng_impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="dropout PRNG: rbg = TPU-native (fast), "
+                        "threefry2x32 = sharding-stable bits")
     return p
 
 
@@ -162,6 +166,7 @@ def config_from_args(args) -> D2RConfig:
         steps_per_dispatch=args.steps_per_dispatch,
         optimizer_impl=args.optimizer_impl,
         adam_mu_dtype=args.adam_mu_dtype,
+        prng_impl=args.prng_impl,
     )
 
 

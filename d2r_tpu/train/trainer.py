@@ -124,7 +124,8 @@ class Trainer(BaseTrainer):
             self.state = restore_checkpoint(cfg.load_path, self.state)
             self.logger.info("Load model successful!")
 
-        dropout_rng = jax.random.key(cfg.seed + 1)
+        dropout_rng = jax.random.key(
+            cfg.seed + 1, impl=getattr(cfg, "prng_impl", "threefry2x32"))
         t_start = time.time()
         seen = 0
         window_losses = []  # DEVICE loss scalars/vectors pending fetch

@@ -25,11 +25,9 @@ VARIANTS = {
     "mu_bf16": {"adam_mu_dtype": "bfloat16"},
     "fused_opt": {"optimizer_impl": "fused"},
     "remat+mu_bf16": {"remat": True, "adam_mu_dtype": "bfloat16"},
-    # _prng_impl is handled specially (global jax config, not a D2RConfig
-    # field): 'rbg' swaps threefry for the TPU-native RBG generator — the
-    # recipe trains with dropout on, and threefry bit generation is pure VPU
-    # work at every dropout site.
-    "rbg": {"_prng_impl": "rbg"},
+    # the shipped default is prng_impl='rbg' (measured 818 vs 705 on v5e);
+    # 'threefry' measures the sharding-stable alternative.
+    "threefry": {"prng_impl": "threefry2x32"},
     "no_dropout_probe": {"_deterministic_probe": True},
 }
 
@@ -48,10 +46,7 @@ def measure(overrides):
                                      make_multi_step)
 
     overrides = dict(overrides)
-    prng_impl = overrides.pop("_prng_impl", None)
     det_probe = overrides.pop("_deterministic_probe", False)
-    if prng_impl:
-        jax.config.update("jax_default_prng_impl", prng_impl)
 
     cfg = D2RConfig(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
                     compute_dtype="bfloat16", use_pallas=True, **overrides)
@@ -62,6 +57,8 @@ def measure(overrides):
     batch = {k: jax.device_put(v) for k, v in batch_np.items()}
     state = create_train_state(model, cfg, None, jax.random.key(0), batch,
                                total_steps=1000)
+
+    rng = jax.random.key(1, impl=cfg.prng_impl)
 
     if det_probe:
         # Diagnostic ONLY: the same K-step scan with dropout disabled
@@ -92,7 +89,7 @@ def measure(overrides):
                                    (MEASURE_STEPS,) + np.shape(v))
                for k, v in batch.items()}
     t0 = time.perf_counter()
-    state, metrics = multi_step(state, stacked, jax.random.key(1))
+    state, metrics = multi_step(state, stacked, rng)
     _ = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
@@ -107,7 +104,7 @@ def measure(overrides):
     loss = None
     for _ in range(NUM_WINDOWS):
         t0 = time.perf_counter()
-        state, metrics = multi_step(state, stacked, jax.random.key(1))
+        state, metrics = multi_step(state, stacked, rng)
         loss = float(metrics["loss"])
         el = time.perf_counter() - t0
         if el <= roundtrip:
