@@ -84,6 +84,10 @@ class QKVDense(nn.Module):
     (fan_in = in_features, identical distribution to three separate Linears).
     Converters stack the reference's separate q/k/v weights on axis 1
     (d2r_tpu/utils/weights.py::_fused_qkv).
+
+    A/B'd on v5e (docs/BENCHMARKS.md): splitting into three dots against
+    param slices to avoid the (B, L, 3, h) output slices measured 782 vs 824
+    samples/s — one big fused dot wins; keep the einsum + output slicing.
     """
 
     hidden: int

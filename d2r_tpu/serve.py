@@ -48,10 +48,16 @@ class Predictor:
         if key not in self._fns:
             model = self.model
 
+            from d2r_tpu.train.state import _compute_cast
+            compute_dtype = self.cfg.dtype
+
             @jax.jit
             def fwd(variables, input_ids, attention_mask, token_type_ids,
                     pixel_values):
                 labels = jnp.zeros((input_ids.shape[0],), jnp.int32)
+                variables = dict(
+                    variables,
+                    params=_compute_cast(variables["params"], compute_dtype))
                 _, logits, _ = model.apply(
                     variables, input_ids, attention_mask, token_type_ids,
                     labels, pixel_values,

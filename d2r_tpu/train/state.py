@@ -57,16 +57,44 @@ def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch,
     )
 
 
+def _compute_cast(params, dtype):
+    """Cast the >=2-D fp32 weights to the compute dtype ONCE per step.
+
+    Every module already casts its params at use (`kernel.astype(dtype)`),
+    so the values are bit-identical — but with per-use casts XLA materialises
+    fp32 weight relayouts + bf16 copies at every use site (forward, dx, dW):
+    the optimised HLO showed ~7 GB/step of fp32 weight-shaped buffers on a
+    step that is HBM-bandwidth-bound. Hoisting the cast makes fwd/bwd touch
+    only the half-width bf16 copies. 1-D params (LayerNorm/bias/BatchNorm
+    scales) keep fp32 so modules that consume them in fp32 (TorchBatchNorm)
+    are byte-for-byte unchanged; their traffic is negligible.
+    """
+    if dtype == jnp.float32 or not _HOIST_PARAM_CAST:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if (p.ndim >= 2 and p.dtype == jnp.float32) else p, params)
+
+
+# A/B result on v5e (see docs/BENCHMARKS.md): hoisting the cast REGRESSED
+# throughput (785 vs 824 samples/s) — XLA fuses the per-use f32->bf16
+# converts into the dots for free, while the hoist forces a materialised
+# bf16 copy of every weight. Kept off; the machinery stays for future A/Bs.
+_HOIST_PARAM_CAST = False
+
+
 def _train_step_body(model):
     """The un-jitted (state, batch, rng) -> (state, metrics) step body,
     shared by make_train_step and make_multi_step."""
+    compute_dtype = model.cfg.dtype
 
     def train_step(state: TrainState, batch, dropout_rng):
         step_rng = jax.random.fold_in(dropout_rng, state.step)
 
         def loss_fn(params):
             (loss, logits, aux), mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": _compute_cast(params, compute_dtype),
+                 "batch_stats": state.batch_stats},
                 **_model_inputs(batch),
                 deterministic=False,
                 use_running_average=False,
@@ -119,10 +147,13 @@ def make_eval_step(model):
     """Deterministic forward returning (loss, logits); BatchNorm uses running
     stats (torch model.eval() semantics, ref: modules/train.py:162,170)."""
 
+    compute_dtype = model.cfg.dtype
+
     @jax.jit
     def eval_step(state: TrainState, batch):
         loss, logits, aux = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": _compute_cast(state.params, compute_dtype),
+             "batch_stats": state.batch_stats},
             **_model_inputs(batch),
             deterministic=True,
             use_running_average=True,
