@@ -95,7 +95,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", default=16, type=int,
                    help="train steps fused into one device program (lax.scan)")
     p.add_argument("--optimizer_impl", default="grouped",
-                   choices=["grouped", "fused", "multi_transform"])
+                   choices=["grouped", "fused", "fused_leaf",
+                            "multi_transform"])
     p.add_argument("--adam_mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--prng_impl", default="rbg",

@@ -21,13 +21,16 @@ import jax
 import jax.numpy as jnp
 
 from d2r_tpu.ops.kernels.flash_attention import flash_attention
+from d2r_tpu.ops.kernels.fused_attention import (
+    fused_attention_small,
+    supports_fused_small,
+)
 
 
-# Below this key/value length, XLA's batched-matmul attention beats the
-# pallas kernel: at D2R's shapes (S=50..128) the (L,S) score tile is tiny, so
-# flash-attention's HBM savings are negligible while its per-(B,H) grid
-# launch overhead is not (measured on v5e: 92ms vs 106ms full train step).
-# The kernel remains the long-context path.
+# At / above this key/value length the long-context online-softmax kernel
+# (kernels/flash_attention.py, grid over q/k blocks) takes over; below it the
+# short-sequence kernel (kernels/fused_attention.py, whole (L,S) tile in
+# VMEM, in-kernel dropout, fused backward) handles D2R's production shapes.
 PALLAS_MIN_KV_LEN = 256
 
 
@@ -36,6 +39,10 @@ def _supports_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
         return False
     d = q.shape[-1]
     return d % 8 == 0 and k.shape[2] >= PALLAS_MIN_KV_LEN
+
+
+def _supports_pallas_small(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    return jax.default_backend() == "tpu" and supports_fused_small(q, k)
 
 
 def dot_product_attention(
@@ -72,6 +79,19 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     apply_dropout = dropout_rate > 0.0 and not deterministic
+    if use_pallas and _supports_pallas_small(q, k):
+        # short-sequence fused kernel: fp32 softmax + (optional) probability
+        # dropout + PV in one VMEM pass, fused Pallas backward that
+        # regenerates the dropout mask from the seed (no (B,H,L,S) residual)
+        seed = None
+        if apply_dropout:
+            if dropout_rng is None:
+                raise ValueError("dropout_rng required when dropout is active")
+            seed = jax.random.bits(dropout_rng, (), jnp.uint32)
+        return fused_attention_small(
+            q, k, v, key_bias, scale,
+            dropout_rate=dropout_rate if apply_dropout else 0.0,
+            dropout_seed=seed)
     if use_pallas and not apply_dropout and _supports_pallas(q, k):
         # long-context path: the kernel wants (B, H, L, D); the transpose is
         # amortised over a large S

@@ -141,6 +141,78 @@ def fused_adamw(cfg: D2RConfig, total_steps: int, params_template
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FusedLeafAdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def fused_leaf_adamw(cfg: D2RConfig, total_steps: int
+                     ) -> optax.GradientTransformation:
+    """Per-leaf AdamW with the ENTIRE update fused into one expression.
+
+    The optax chain (scale_by_adam -> add_decayed_weights -> group lr ->
+    apply_updates) materialises an intermediate updates tree between every
+    stage: ~14 HBM passes over the fp32 param bytes per step. A device trace
+    of the flagship step showed ~20 ms/step of weight-shaped multiply-add
+    fusions — the single largest non-matmul class on an HBM-bandwidth-bound
+    step (docs/BENCHMARKS.md). Computing mu'/nu'/update in one tree_map leaf
+    expression lets XLA emit ONE kernel per leaf that reads (g, p, mu, nu)
+    and writes (mu', nu', update): the minimal 7 passes.
+
+    Math is bit-identical to the 4-group multi_transform oracle
+    (ref: modules/train.py:287-322; tests/test_fused_optimizer.py): same
+    operation order as optax.scale_by_adam ((1-b)*g + b*m moments, bias
+    correction by 1-b^t with t=count+1, sqrt outside the eps), decoupled
+    weight decay 1e-2 against the pre-update params, group lr (fc @ 5e-2)
+    from the schedule evaluated at the PRE-increment count.
+    """
+    warmup = cfg.warmup_ratio * total_steps
+    sched_main = linear_warmup_decay(cfg.lr, warmup, total_steps)
+    sched_fc = linear_warmup_decay(cfg.fc_lr, warmup, total_steps)
+    b1, b2, eps, wd = 0.9, 0.999, 1e-8, 1e-2
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+        return FusedLeafAdamWState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "fused_leaf_adamw requires params (decay)"
+        count_inc = optax.safe_int32_increment(state.count)
+        t = count_inc.astype(jnp.float32)
+        c1 = 1.0 - b1 ** t
+        c2 = 1.0 - b2 ** t
+        lr_main = sched_main(state.count)
+        lr_fc = sched_fc(state.count)
+        labels = _label_tree(updates)
+
+        def leaf(g, p, mu, nu, lab):
+            g = g.astype(jnp.float32)
+            mu2 = (1.0 - b1) * g + b1 * mu
+            nu2 = (1.0 - b2) * jnp.square(g) + b2 * nu
+            lr = lr_fc if lab == "fc" else lr_main
+            u = (mu2 / c1) / (jnp.sqrt(nu2 / c2) + eps) + wd * p
+            return (u * (-lr)).astype(p.dtype), mu2, nu2
+
+        g_flat, treedef = jax.tree_util.tree_flatten(updates)
+        p_flat = treedef.flatten_up_to(params)
+        mu_flat = treedef.flatten_up_to(state.mu)
+        nu_flat = treedef.flatten_up_to(state.nu)
+        lab_flat = treedef.flatten_up_to(labels)
+        out = [leaf(*args) for args in
+               zip(g_flat, p_flat, mu_flat, nu_flat, lab_flat)]
+        unflat = treedef.unflatten
+        return unflat([o[0] for o in out]), FusedLeafAdamWState(
+            count=count_inc,
+            mu=unflat([o[1] for o in out]),
+            nu=unflat([o[2] for o in out]))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def grouped_adamw(cfg: D2RConfig, total_steps: int) -> optax.GradientTransformation:
     """Single AdamW chain with a per-leaf group learning rate.
 
@@ -192,6 +264,8 @@ def make_optimizer(cfg: D2RConfig, total_steps: int,
     if params is not None and impl != "multi_transform":
         if impl == "fused":
             return fused_adamw(cfg, total_steps, params)
+        if impl == "fused_leaf":
+            return fused_leaf_adamw(cfg, total_steps)
         if impl != "grouped":
             raise ValueError(f"unknown optimizer_impl: {impl!r}")
         return grouped_adamw(cfg, total_steps)

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from d2r_tpu.config import tiny_test_config
-from d2r_tpu.train.optimizer import fused_adamw, grouped_adamw, make_optimizer
+from d2r_tpu.train.optimizer import (fused_adamw, fused_leaf_adamw,
+                                     grouped_adamw, make_optimizer)
 
 
 def _toy_params():
@@ -24,7 +25,7 @@ def _toy_params():
     }
 
 
-@pytest.mark.parametrize("variant", ["fused", "grouped"])
+@pytest.mark.parametrize("variant", ["fused", "grouped", "fused_leaf"])
 def test_fast_optimizers_match_multi_transform_over_steps(variant):
     cfg = tiny_test_config(lr=1e-3, warmup_ratio=0.1)
     params = _toy_params()
@@ -33,6 +34,8 @@ def test_fast_optimizers_match_multi_transform_over_steps(variant):
     tx_ref = make_optimizer(cfg, total_steps=20)          # multi_transform
     if variant == "fused":
         tx_fused = fused_adamw(cfg, total_steps=20, params_template=params)
+    elif variant == "fused_leaf":
+        tx_fused = fused_leaf_adamw(cfg, total_steps=20)
     else:
         tx_fused = grouped_adamw(cfg, total_steps=20)
 

@@ -28,6 +28,8 @@ VARIANTS = {
     # the shipped default is prng_impl='rbg' (measured 818 vs 705 on v5e);
     # 'threefry' measures the sharding-stable alternative.
     "threefry": {"prng_impl": "threefry2x32"},
+    "fused_leaf": {"optimizer_impl": "fused_leaf"},
+    "no_pallas": {"use_pallas": False},
     "no_dropout_probe": {"_deterministic_probe": True},
 }
 
