@@ -99,6 +99,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "multi_transform"])
     p.add_argument("--adam_mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--pixel_transfer", default="uint8",
+                   choices=["uint8", "float32"],
+                   help="image host->device format: uint8 ships raw resized "
+                        "pixels (4x fewer bytes, normalised on device), "
+                        "float32 = host-side CLIP normalisation")
     p.add_argument("--prng_impl", default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="dropout PRNG: rbg = TPU-native (fast), "
@@ -168,6 +173,7 @@ def config_from_args(args) -> D2RConfig:
         optimizer_impl=args.optimizer_impl,
         adam_mu_dtype=args.adam_mu_dtype,
         prng_impl=args.prng_impl,
+        pixel_transfer=args.pixel_transfer,
     )
 
 
@@ -212,7 +218,7 @@ def main(argv=None) -> None:
         processor, paths["img"], max_seq=cfg.max_seq, mode=mode,
         image_size=vc.image_size, num_vision_tokens=vc.num_tokens,
         sample_ratio=cfg.sample_ratio if mode == "train" else 1.0,
-        sentic_lexicon=lexicon)
+        sentic_lexicon=lexicon, pixel_transfer=cfg.pixel_transfer)
     train_loader = DataLoader(mk("train"), cfg.batch_size, shuffle=True,
                               num_workers=args.num_workers, seed=cfg.seed)
     dev_loader = DataLoader(mk("dev"), cfg.batch_size, shuffle=False,

@@ -226,6 +226,19 @@ class D2RConfig:
     # docs/PARITY.md deviation 5); param init stays threefry (seed-stable).
     # Use 'threefry2x32' for bits that are stable across shardings/versions.
     prng_impl: str = "rbg"
+    # Recompute (instead of save) the 4x-wide post-GELU FFN activations in
+    # backward — surgical remat via checkpoint_name('ffn_act') tags; the
+    # whole-model remat knob above trades too much recompute (581/s measured)
+    # while this drops ~25 MB/FFN-site of HBM residual traffic for an
+    # elementwise recompute.
+    remat_ffn_act: bool = False
+    # Pixel transfer format for the image pipeline. 'uint8' ships RAW
+    # resized/cropped pixels (4x fewer host->device bytes — the dominant
+    # input cost: 38 MB/batch fp32 at bsz 64) and CLIPVisionEmbeddings
+    # normalises on device with the identical fp32 op order, so the PIL
+    # decode path is bit-identical to host-side normalisation; the native C
+    # path re-quantises its float resample to uint8 (<=1 LSB, PARITY.md).
+    pixel_transfer: str = "uint8"
 
     def text_config(self) -> TextEncoderConfig:
         key = self.bert_name.split("/")[-1]

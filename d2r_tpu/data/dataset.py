@@ -66,6 +66,7 @@ class MSDDataset:
         sample_ratio: float = 1.0,
         fallback_image: str = "inf.png",
         sentic_lexicon=None,
+        pixel_transfer: str = "float32",
     ):
         self.processor = processor
         self.tokenizer = processor.tokenizer
@@ -74,6 +75,10 @@ class MSDDataset:
         self.image_size = image_size
         self.num_vision_tokens = num_vision_tokens
         self.sentic_lexicon = sentic_lexicon  # word->polarity dict or None
+        # 'uint8' ships RAW resized pixels (4x fewer host->device bytes);
+        # CLIPVisionEmbeddings normalises on device (models/vit.py).
+        assert pixel_transfer in ("float32", "uint8"), pixel_transfer
+        self.pixel_transfer = pixel_transfer
         self.data = processor.load_from_file(mode)
         if sample_ratio < 1.0:  # low-resource subsetting (ref: run.py:60)
             n = max(1, int(len(self.data["texts"]) * sample_ratio))
@@ -102,13 +107,16 @@ class MSDDataset:
         attention_mask[:n] = 1
         token_type_ids = np.zeros(self.max_seq, np.int32)
 
+        raw_u8 = self.pixel_transfer == "uint8"
         if self.img_path is not None:
             pixel_values = load_image(
                 os.path.join(self.img_path, img),
                 image_size=self.image_size,
-                fallback_path=self.fallback)
+                fallback_path=self.fallback,
+                raw_uint8=raw_u8)
         else:
-            pixel_values = np.zeros((3, self.image_size, self.image_size), np.float32)
+            pixel_values = np.zeros((3, self.image_size, self.image_size),
+                                    np.uint8 if raw_u8 else np.float32)
 
         item = {
             "input_ids": input_ids,
@@ -117,7 +125,8 @@ class MSDDataset:
             # vestigial but kept for API parity (ref: processor/dataset.py:99)
             "img_mask": np.ones(self.num_vision_tokens, np.int32),
             "labels": np.int32(label),
-            "pixel_values": pixel_values.astype(np.float32),
+            "pixel_values": (pixel_values if raw_u8
+                             else pixel_values.astype(np.float32)),
         }
         if self.sentic_lexicon is not None:
             from d2r_tpu.data.sentic import batched_affective_adjacency

@@ -25,8 +25,12 @@ def _load_pil(path: str):
     return Image.open(path).convert("RGB")
 
 
-def preprocess_pil(image, image_size: int = 224) -> np.ndarray:
-    """PIL image -> (3, H, W) float32, CLIP-normalised."""
+def preprocess_pil(image, image_size: int = 224,
+                   raw_uint8: bool = False) -> np.ndarray:
+    """PIL image -> (3, H, W): CLIP-normalised float32, or resized/cropped
+    RAW uint8 when ``raw_uint8`` (pixel_transfer='uint8' mode — 4x fewer
+    host->device bytes; the model normalises on device with the exact same
+    fp32 op order, so the PIL path is bit-identical either way)."""
     from PIL import Image
 
     w, h = image.size
@@ -37,13 +41,18 @@ def preprocess_pil(image, image_size: int = 224) -> np.ndarray:
     top = (new_h - image_size) // 2
     image = image.crop((left, top, left + image_size, top + image_size))
 
+    if raw_uint8:
+        return np.asarray(image, dtype=np.uint8).transpose(2, 0, 1)
     arr = np.asarray(image, dtype=np.float32) / 255.0  # (H, W, 3)
     arr = (arr - CLIP_MEAN) / CLIP_STD
     return arr.transpose(2, 0, 1)  # channel-first like the reference
 
 
-def gray_fallback(image_size: int = 224) -> np.ndarray:
+def gray_fallback(image_size: int = 224,
+                  raw_uint8: bool = False) -> np.ndarray:
     """Synthetic mid-grey frame used when even the fallback file is absent."""
+    if raw_uint8:
+        return np.full((3, image_size, image_size), 128, dtype=np.uint8)
     arr = np.full((image_size, image_size, 3), 0.5, dtype=np.float32)
     arr = (arr - CLIP_MEAN) / CLIP_STD
     return arr.transpose(2, 0, 1)
@@ -54,31 +63,35 @@ def load_image(
     image_size: int = 224,
     fallback_path: Optional[str] = None,
     use_native: bool = True,
+    raw_uint8: bool = False,
 ) -> np.ndarray:
     """Decode + preprocess with the reference's bare-except fallback chain.
 
     Tries the GIL-free C loader first (native/imagedec.c — near-exact PIL
     semantics, float-precision resampling instead of PIL's fixed-point);
     any native failure falls through to PIL, then the fallback image, then a
-    grey frame.
+    grey frame. ``raw_uint8`` emits resized/cropped uint8 pixels for
+    device-side normalisation (see preprocess_pil).
     """
     if use_native:
         from d2r_tpu.data.native_image import native_load_image
-        out = native_load_image(path, image_size)
+        out = native_load_image(path, image_size, raw_uint8=raw_uint8)
         if out is not None:
             return out
     try:
-        return preprocess_pil(_load_pil(path), image_size)
+        return preprocess_pil(_load_pil(path), image_size, raw_uint8=raw_uint8)
     except Exception:
         pass
     if fallback_path is not None and os.path.exists(fallback_path):
         if use_native:
             from d2r_tpu.data.native_image import native_load_image
-            out = native_load_image(fallback_path, image_size)
+            out = native_load_image(fallback_path, image_size,
+                                    raw_uint8=raw_uint8)
             if out is not None:
                 return out
         try:
-            return preprocess_pil(_load_pil(fallback_path), image_size)
+            return preprocess_pil(_load_pil(fallback_path), image_size,
+                                  raw_uint8=raw_uint8)
         except Exception:
             pass
-    return gray_fallback(image_size)
+    return gray_fallback(image_size, raw_uint8=raw_uint8)

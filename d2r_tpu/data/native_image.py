@@ -61,14 +61,26 @@ def native_available() -> bool:
     return _ensure_lib() is not None
 
 
-def native_load_image(path: str, image_size: int = 224) -> Optional[np.ndarray]:
-    """Decode+preprocess via the C library; None on any failure."""
+def native_load_image(path: str, image_size: int = 224,
+                      raw_uint8: bool = False) -> Optional[np.ndarray]:
+    """Decode+preprocess via the C library; None on any failure.
+
+    ``raw_uint8``: return resized/cropped RAW pixels (pixel_transfer='uint8'
+    mode) by calling the C resampler with mean=0, std=1/255 — the output is
+    then the float pixel value in [0, 255], rounded back to uint8. The C
+    path resamples in float precision, so this re-quantisation costs at most
+    1 LSB vs its float output (PARITY.md pixel-transfer note).
+    """
     lib = _ensure_lib()
     if lib is None:
         return None
     out = np.empty((3, image_size, image_size), dtype=np.float32)
-    mean = CLIP_MEAN.astype(np.float32)
-    std = CLIP_STD.astype(np.float32)
+    if raw_uint8:
+        mean = np.zeros(3, dtype=np.float32)
+        std = np.full(3, 1.0 / 255.0, dtype=np.float32)
+    else:
+        mean = CLIP_MEAN.astype(np.float32)
+        std = CLIP_STD.astype(np.float32)
     rc = lib.d2r_load_image(
         path.encode("utf-8"), image_size,
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -76,4 +88,6 @@ def native_load_image(path: str, image_size: int = 224) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc != 0:
         return None
+    if raw_uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return out

@@ -116,8 +116,12 @@ class BertLayer(nn.Module):
 
         # FFN. The reference wraps this in apply_chunking_to_forward with
         # chunk_size 0 == no chunking (ref: models/modeling_unimo.py:502-504).
+        # The activation output is tagged so the step-level remat policy
+        # (train/state.py, cfg.remat_ffn_act) can drop the 4x-wide post-GELU
+        # tensor from the saved residuals and recompute it in backward.
+        from jax.ad_checkpoint import checkpoint_name
         h = TorchLinear(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
-        h = ACT2FN[c.hidden_act](h)
+        h = checkpoint_name(ACT2FN[c.hidden_act](h), "ffn_act")
         h = TorchLinear(c.hidden_size, dtype=self.dtype, name="output_dense")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,

@@ -33,9 +33,22 @@ class CLIPVisionEmbeddings(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
-        """pixel_values: (B, C, H, W) — channel-first like the reference."""
+        """pixel_values: (B, C, H, W) — channel-first like the reference.
+
+        Accepts either host-normalised float pixels or RAW uint8 pixels
+        (pixel_transfer='uint8' data-pipeline mode): uint8 ships 4x fewer
+        host->device bytes and the CLIP normalisation ((x/255 - mean)/std,
+        same fp32 op order as data/image.py::preprocess_pil) runs on-device,
+        fused into the patch conv's input by XLA.
+        """
         c = self.cfg
         batch = pixel_values.shape[0]
+        if pixel_values.dtype == jnp.uint8:
+            from d2r_tpu.data.image import CLIP_MEAN, CLIP_STD
+            mean = jnp.asarray(CLIP_MEAN, jnp.float32)[:, None, None]
+            std = jnp.asarray(CLIP_STD, jnp.float32)[:, None, None]
+            pixel_values = (pixel_values.astype(jnp.float32) / 255.0
+                            - mean) / std
         # NCHW -> NHWC for XLA-native conv layout on TPU.
         x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(self.dtype)
         patches = nn.Conv(
@@ -106,7 +119,9 @@ class CLIPEncoderLayer(nn.Module):
         residual = x
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
         h = TorchLinear(c.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
-        h = ACT2FN[c.hidden_act](h)
+        # tagged for the step-level remat policy (see models/bert.py FFN note)
+        from jax.ad_checkpoint import checkpoint_name
+        h = checkpoint_name(ACT2FN[c.hidden_act](h), "ffn_act")
         h = TorchLinear(c.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return residual + h
 

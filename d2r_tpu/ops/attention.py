@@ -28,10 +28,19 @@ from d2r_tpu.ops.kernels.fused_attention import (
 
 
 # At / above this key/value length the long-context online-softmax kernel
-# (kernels/flash_attention.py, grid over q/k blocks) takes over; below it the
-# short-sequence kernel (kernels/fused_attention.py, whole (L,S) tile in
-# VMEM, in-kernel dropout, fused backward) handles D2R's production shapes.
+# (kernels/flash_attention.py, grid over q/k blocks) takes over. Below it
+# XLA's batched-matmul attention is the default: the short-sequence fused
+# kernel (kernels/fused_attention.py) was MEASURED SLOWER on the full
+# flagship step (706.5 vs 821.8 samples/s on v5e, docs/BENCHMARKS.md) —
+# Mosaic can neither batch the per-head (64,64,64) dots in one op nor merge
+# heads in-register ("unsupported shape cast"), so the per-head loop's
+# fixed costs exceed XLA's inefficiency at these shapes. The kernel stays
+# available (opt-in below) for its fused backward + in-kernel dropout.
 PALLAS_MIN_KV_LEN = 256
+
+# Opt-in switch for the short-sequence fused kernel (tools/perf A/Bs, and
+# any future toolchain where Mosaic lowers it better).
+SMALL_KERNEL_OPT_IN = False
 
 
 def _supports_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
@@ -42,7 +51,8 @@ def _supports_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
 
 
 def _supports_pallas_small(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    return jax.default_backend() == "tpu" and supports_fused_small(q, k)
+    return (SMALL_KERNEL_OPT_IN and jax.default_backend() == "tpu"
+            and supports_fused_small(q, k))
 
 
 def dot_product_attention(

@@ -37,8 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Block over batch: heads stay whole (the head loop is in-kernel). 8 keeps
-# VMEM well under budget at D2R shapes: fwd scores are (H, L, S) fp32 per
-# batch element processed one-at-a-time, buffers ~1 MB total.
+# the unrolled kernel body compilable — 16 blew up the Mosaic compile
+# (remote tpu_compile_helper OOM-killed on the 4.7 MB MLIR of the 26-site
+# flagship program) — while staying well under the VMEM ceiling.
 DEFAULT_BLOCK_B = 8
 
 # Knuth multiplicative hash (0x9E3779B1) as a signed int32, to spread the
@@ -72,12 +73,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
     for b in range(block_b):
         bias = bias_ref[b][None, :]                       # (1, S) fp32
+        # ONE sublane relayout to head-major per tensor, instead of 12
+        # strided middle-dim gathers (lanes = D stay put).
+        Q = jnp.swapaxes(q_ref[b], 0, 1)                  # (H, L, D)
+        K = jnp.swapaxes(k_ref[b], 0, 1)
+        V = jnp.swapaxes(v_ref[b], 0, 1)
         outs = []
         for h in range(num_heads):
-            q = q_ref[b, :, h, :]                         # (L, D)
-            k = k_ref[b, :, h, :]                         # (S, D)
             s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                Q[h], K[h], dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (L, S)
             s = s * scale + bias
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -87,7 +91,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                 keep = _keep_mask(p.shape, rate)
                 p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
             o = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[b, :, h, :],
+                p.astype(v_ref.dtype), V[h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (L, D)
             outs.append(o.astype(o_ref.dtype))
@@ -110,12 +114,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     for b in range(block_b):
         bias = bias_ref[b][None, :]
         db_acc = jnp.zeros_like(bias)                     # (1, S) fp32
+        Qb = jnp.swapaxes(q_ref[b], 0, 1)                 # (H, L, D)
+        Kb = jnp.swapaxes(k_ref[b], 0, 1)
+        Vb = jnp.swapaxes(v_ref[b], 0, 1)
+        Gb = jnp.swapaxes(g_ref[b], 0, 1)
         dqs, dks, dvs = [], [], []
         for h in range(num_heads):
-            q = q_ref[b, :, h, :]
-            k = k_ref[b, :, h, :]
-            v = v_ref[b, :, h, :]
-            g = g_ref[b, :, h, :]
+            q, k, v, g = Qb[h], Kb[h], Vb[h], Gb[h]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -160,9 +165,21 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         dbias_ref[b, :] = db_acc[0]
 
 
-def _pick_block_b(batch: int) -> int:
+# Scoped-VMEM ceiling for these kernels. The default 16 MB limit OOMs the
+# backward kernel for head layouts whose D pads badly to the 128-lane tile
+# (IMRC: H=16, D=48 -> measured 17.15 MB at block_b=8); v5e has 128 MB VMEM
+# per core, so raising the scoped limit is safe at these block sizes.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _pick_block_b(batch: int, l: int, s: int, h: int, d: int) -> int:
+    """Largest divisor of batch <= DEFAULT_BLOCK_B whose estimated footprint
+    (q,k,v,g in + dq,dk,dv out, double-buffered, lane-padded D) stays well
+    under the scoped-VMEM ceiling."""
+    d_pad = -(-d // 128) * 128 if d < 128 else d
+    per_elem = (4 * l + 3 * s) * h * d_pad * 2          # bytes, bf16
     bb = min(DEFAULT_BLOCK_B, batch)
-    while batch % bb:
+    while bb > 1 and (batch % bb or 4 * per_elem * bb > VMEM_LIMIT_BYTES):
         bb -= 1
     return bb
 
@@ -189,7 +206,7 @@ def _common_specs(b, l, s, h, d, bb):
 def _fwd_call(q, k, v, bias, seed, scale, rate, interpret=False):
     b, l, h, d = q.shape
     s = k.shape[1]
-    bb = _pick_block_b(b)
+    bb = _pick_block_b(b, l, s, h, d)
     grid, qspec, kvspec, bspec = _common_specs(b, l, s, h, d, bb)
     kern = functools.partial(_fwd_kernel, scale=scale, rate=rate,
                              block_b=bb, num_heads=h)
@@ -209,6 +226,8 @@ def _fwd_call(q, k, v, bias, seed, scale, rate, interpret=False):
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * h * l * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(seed, q, k, v, bias)
     return out.reshape(q.shape)
@@ -217,7 +236,7 @@ def _fwd_call(q, k, v, bias, seed, scale, rate, interpret=False):
 def _bwd_call(q, k, v, bias, seed, g, scale, rate, interpret=False):
     b, l, h, d = q.shape
     s = k.shape[1]
-    bb = _pick_block_b(b)
+    bb = _pick_block_b(b, l, s, h, d)
     grid, qspec, kvspec, bspec = _common_specs(b, l, s, h, d, bb)
     kern = functools.partial(_bwd_kernel, scale=scale, rate=rate,
                              block_b=bb, num_heads=h)
@@ -250,6 +269,8 @@ def _bwd_call(q, k, v, bias, seed, g, scale, rate, interpret=False):
             bytes_accessed=4 * (q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * l * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(seed, q, k, v, bias, g)
     return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape), dbias

@@ -87,12 +87,13 @@ def _train_step_body(model):
     """The un-jitted (state, batch, rng) -> (state, metrics) step body,
     shared by make_train_step and make_multi_step."""
     compute_dtype = model.cfg.dtype
+    remat_ffn_act = getattr(model.cfg, "remat_ffn_act", False)
 
     def train_step(state: TrainState, batch, dropout_rng):
         step_rng = jax.random.fold_in(dropout_rng, state.step)
 
-        def loss_fn(params):
-            (loss, logits, aux), mutated = state.apply_fn(
+        def forward(params):
+            return state.apply_fn(
                 {"params": _compute_cast(params, compute_dtype),
                  "batch_stats": state.batch_stats},
                 **_model_inputs(batch),
@@ -101,6 +102,19 @@ def _train_step_body(model):
                 rngs={"dropout": step_rng},
                 mutable=["batch_stats"],
             )
+
+        if remat_ffn_act:
+            # Surgical remat: save every residual EXCEPT the 4x-wide
+            # post-GELU FFN activations (tagged 'ffn_act' in bert.py/vit.py);
+            # backward recomputes the cheap elementwise GELU instead of
+            # round-tripping ~25 MB per FFN site through HBM.
+            forward = jax.checkpoint(
+                forward,
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "ffn_act"))
+
+        def loss_fn(params):
+            (loss, logits, aux), mutated = forward(params)
             return loss, (logits, aux, mutated)
 
         (loss, (logits, aux, mutated)), grads = jax.value_and_grad(

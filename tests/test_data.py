@@ -150,3 +150,60 @@ class TestSentic:
         assert len(lex) == 39891
         np.testing.assert_allclose(lex["bombastic"], -0.96)
         assert all(-1.0 <= v <= 1.0 for v in lex.values())
+
+
+class TestPixelTransfer:
+    """pixel_transfer='uint8' ships raw resized pixels; the model's
+    device-side normalisation must reproduce host-side float32 exactly on
+    the PIL path (identical fp32 op order) and within 1 LSB on the native
+    path (it re-quantises a float resample)."""
+
+    @pytest.fixture(scope="class")
+    def fake_data(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("msd_u8"))
+        return write_fake_dataset(root, n=6, image_size=32, corrupt_every=4)
+
+    def test_uint8_matches_float32_after_device_normalise(self, fake_data):
+        import jax.numpy as jnp
+
+        from d2r_tpu.data.image import CLIP_MEAN, CLIP_STD
+
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds32 = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                          image_size=32, pixel_transfer="float32")
+        ds8 = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                         image_size=32, pixel_transfer="uint8")
+        for i in range(len(ds8)):
+            raw = ds8[i]["pixel_values"]
+            assert raw.dtype == np.uint8
+            # the exact op order CLIPVisionEmbeddings applies on device
+            dev = np.asarray(
+                (jnp.asarray(raw).astype(jnp.float32) / 255.0
+                 - jnp.asarray(CLIP_MEAN, jnp.float32)[:, None, None])
+                / jnp.asarray(CLIP_STD, jnp.float32)[:, None, None])
+            host = ds32[i]["pixel_values"]
+            # 1 uint8 LSB after normalisation: (1/255)/std ~ 0.015
+            np.testing.assert_allclose(dev, host, atol=0.016)
+
+    def test_model_accepts_uint8_pixels(self):
+        import jax
+        import jax.numpy as jnp
+
+        from d2r_tpu.config import tiny_test_config
+        from d2r_tpu.models.vit import CLIPVisionEmbeddings
+
+        cfg = tiny_test_config().vision_config()
+        rng = np.random.RandomState(0)
+        u8 = rng.randint(0, 256, size=(2, 3, cfg.image_size, cfg.image_size)
+                         ).astype(np.uint8)
+        f32 = ((u8.astype(np.float32) / 255.0
+                - np.asarray([0.48145466, 0.4578275, 0.40821073],
+                             np.float32)[:, None, None])
+               / np.asarray([0.26862954, 0.26130258, 0.27577711],
+                            np.float32)[:, None, None])
+        mod = CLIPVisionEmbeddings(cfg)
+        variables = mod.init(jax.random.key(0), jnp.asarray(f32))
+        out_f32 = mod.apply(variables, jnp.asarray(f32))
+        out_u8 = mod.apply(variables, jnp.asarray(u8))
+        np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f32),
+                                   atol=1e-5, rtol=1e-5)

@@ -30,6 +30,11 @@ VARIANTS = {
     "threefry": {"prng_impl": "threefry2x32"},
     "fused_leaf": {"optimizer_impl": "fused_leaf"},
     "no_pallas": {"use_pallas": False},
+    "remat_ffn_act": {"remat_ffn_act": True},
+    # measured 706.5 vs 821.8 baseline on v5e — the small-L fused kernel
+    # loses at D2R shapes (see ops/attention.py); kept for re-evaluation on
+    # newer Mosaic toolchains.
+    "small_kernel": {"_small_kernel": True},
     "no_dropout_probe": {"_deterministic_probe": True},
 }
 
@@ -49,9 +54,14 @@ def measure(overrides):
 
     overrides = dict(overrides)
     det_probe = overrides.pop("_deterministic_probe", False)
+    if overrides.pop("_small_kernel", False):
+        from d2r_tpu.ops import attention
+        attention.SMALL_KERNEL_OPT_IN = True
 
-    cfg = D2RConfig(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
-                    compute_dtype="bfloat16", use_pallas=True, **overrides)
+    kwargs = dict(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
+                  compute_dtype="bfloat16", use_pallas=True)
+    kwargs.update(overrides)
+    cfg = D2RConfig(**kwargs)
     model = D2RClassifier(cfg)
     vc = cfg.vision_config()
     batch_np = synthetic_batch(BATCH_SIZE, MAX_SEQ, vc.image_size,

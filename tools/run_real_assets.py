@@ -94,7 +94,8 @@ def main() -> None:
     def mk(mode):
         return MSDDataset(processor, args.img_dir, max_seq=cfg.max_seq,
                           mode=mode, image_size=vc.image_size,
-                          num_vision_tokens=vc.num_tokens)
+                          num_vision_tokens=vc.num_tokens,
+                          pixel_transfer=cfg.pixel_transfer)
 
     loaders = {
         mode: DataLoader(mk(mode), batch_size=cfg.batch_size,
