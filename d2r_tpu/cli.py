@@ -99,6 +99,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "multi_transform"])
     p.add_argument("--adam_mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--scan_layers", action="store_true",
+                   help="run tower layers as one nn.scan over stacked params "
+                        "(identical math, ~12x smaller HLO / faster compile)")
     p.add_argument("--pixel_transfer", default="uint8",
                    choices=["uint8", "float32"],
                    help="image host->device format: uint8 ships raw resized "
@@ -174,6 +177,7 @@ def config_from_args(args) -> D2RConfig:
         adam_mu_dtype=args.adam_mu_dtype,
         prng_impl=args.prng_impl,
         pixel_transfer=args.pixel_transfer,
+        scan_layers=args.scan_layers,
     )
 
 

@@ -226,6 +226,15 @@ class D2RConfig:
     # docs/PARITY.md deviation 5); param init stays threefry (seed-stable).
     # Use 'threefry2x32' for bits that are stable across shardings/versions.
     prng_impl: str = "rbg"
+    # Run each tower's identical transformer layers as ONE nn.scan over
+    # stacked (num_layers, ...) params instead of N inlined copies. Identical
+    # math (tests/test_scan_layers.py). Measured on v5e (flagship program):
+    # compile 217 s vs 414-730 s unrolled (~2-3x faster — the dev-iteration
+    # win) but step time 101.7 vs 77.7 ms (-23%: the scan carry blocks
+    # XLA's inter-layer fusion/pipelining) — so OFF by default; turn on for
+    # compile-bound iteration loops. Weight trees restack via
+    # utils/weights.py stack_tower_layers.
+    scan_layers: bool = False
     # Recompute (instead of save) the 4x-wide post-GELU FFN activations in
     # backward — surgical remat via checkpoint_name('ffn_act') tags; the
     # whole-model remat knob above trades too much recompute (581/s measured)

@@ -128,17 +128,54 @@ class BertLayer(nn.Module):
                             name="output_LayerNorm")(h + x)
 
 
+class _ScanBertBody(nn.Module):
+    """nn.scan body: one BertLayer as a (carry, out) step. The inner child is
+    named 'layer' so scanned params live at
+    ``encoder/layers_scanned/layer/...`` with a leading (num_layers,) axis
+    (see utils/weights.py stack_tower_layers and parallel/mesh.py)."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, key_bias, deterministic: bool = True):
+        y = BertLayer(self.cfg, self.dtype, self.use_pallas, name="layer")(
+            x, key_bias, deterministic)
+        return y, None
+
+
 class BertEncoder(nn.Module):
     """Stack of num_hidden_layers post-LN blocks (the text half of
-    UnimoEncoder, ref: models/modeling_unimo.py:697-712)."""
+    UnimoEncoder, ref: models/modeling_unimo.py:697-712).
+
+    ``scan_layers=True`` runs the stack as ONE ``nn.scan`` over stacked
+    (num_layers, ...) params instead of 12 inlined copies: identical math
+    (tests/test_scan_layers.py pins bit-equality), ~12x smaller HLO — the
+    lever against the multi-minute XLA compiles on tunnelled TPU runtimes.
+    Dropout rngs are split per layer, as the unrolled loop's per-layer
+    fold_in does.
+    """
 
     cfg: TextEncoderConfig
     dtype: Any = jnp.float32
     use_pallas: bool = True
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, key_bias=None, deterministic: bool = True):
+        if self.scan_layers:
+            scan = nn.scan(
+                _ScanBertBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.cfg.num_hidden_layers,
+            )
+            x, _ = scan(self.cfg, self.dtype, self.use_pallas,
+                        name="layers_scanned")(x, key_bias, deterministic)
+            return x
         block = BertLayer
         if self.remat:
             block = nn.remat(BertLayer, static_argnums=(3,))

@@ -67,10 +67,11 @@ class D2RModel(nn.Module):
             input_ids, token_type_ids, deterministic)
 
         # --- dual towers, sequential and independent (ref: :649-729) ---
-        vision_out = CLIPVisionEncoder(vc, dtype, c.use_pallas, c.remat,
+        scan = getattr(c, "scan_layers", False)
+        vision_out = CLIPVisionEncoder(vc, dtype, c.use_pallas, c.remat, scan,
                                        name="encoder_vision_layers")(
             vision_emb, deterministic)
-        text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat,
+        text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat, scan,
                                name="encoder_text_layers")(
             text_emb, key_bias, deterministic)
 

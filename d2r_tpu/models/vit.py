@@ -126,17 +126,45 @@ class CLIPEncoderLayer(nn.Module):
         return residual + h
 
 
+class _ScanCLIPBody(nn.Module):
+    """nn.scan body: one CLIPEncoderLayer as a (carry, out) step (see
+    models/bert.py _ScanBertBody for the layout contract)."""
+
+    cfg: VisionEncoderConfig
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = CLIPEncoderLayer(self.cfg, self.dtype, self.use_pallas,
+                             name="layer")(x, deterministic)
+        return y, None
+
+
 class CLIPVisionEncoder(nn.Module):
     """Stack of pre-LN blocks (the vision half of UnimoEncoder,
-    ref: models/modeling_unimo.py:681-695)."""
+    ref: models/modeling_unimo.py:681-695). ``scan_layers`` as in
+    models/bert.py BertEncoder."""
 
     cfg: VisionEncoderConfig
     dtype: Any = jnp.float32
     use_pallas: bool = True
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.scan_layers:
+            scan = nn.scan(
+                _ScanCLIPBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                length=self.cfg.num_hidden_layers,
+            )
+            x, _ = scan(self.cfg, self.dtype, self.use_pallas,
+                        name="layers_scanned")(x, deterministic)
+            return x
         block = CLIPEncoderLayer
         if self.remat:
             block = nn.remat(CLIPEncoderLayer, static_argnums=(2,))

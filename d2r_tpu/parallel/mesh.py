@@ -83,6 +83,11 @@ def param_partition_spec(path: str, has_model_axis: bool) -> P:
     if has_model_axis:
         for pattern, spec in _PARAM_RULES:
             if re.search(pattern, path):
+                if "layers_scanned" in path:
+                    # scanned towers (cfg.scan_layers) carry a leading
+                    # (num_layers,) axis — keep it unsharded and shift the
+                    # rule one axis right
+                    return P(None, *spec)
                 return spec
     return P()
 

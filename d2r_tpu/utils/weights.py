@@ -182,5 +182,74 @@ def load_pretrained_params(pretrained_dir: str, cfg, params_template):
     bert_sd = _load_torch_file(os.path.join(pretrained_dir, "bert.pt"))
     clip_sd = _load_torch_file(os.path.join(pretrained_dir, "clip_vit.pt"))
     tc, vc = cfg.text_config(), cfg.vision_config()
+    if getattr(cfg, "scan_layers", False):
+        # scanned templates hold stacked (N, ...) tower params: convert
+        # against the unstacked view, then restack
+        expanded = unstack_tower_layers(params_template)
+        converted = convert_pretrained(expanded, bert_sd, clip_sd,
+                                       tc.num_hidden_layers,
+                                       vc.num_hidden_layers)
+        return stack_tower_layers(converted)
     return convert_pretrained(params_template, bert_sd, clip_sd,
                               tc.num_hidden_layers, vc.num_hidden_layers)
+
+
+def stack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Unscanned param tree -> cfg.scan_layers tree.
+
+    For each tower ('encoder_text_layers', 'encoder_vision_layers') the
+    per-layer subtrees {'layer_0': t0, ..., 'layer_{N-1}'} are stacked
+    leaf-wise along a new leading (N,) axis under
+    {'layers_scanned': {'layer': stacked}} — the layout nn.scan with
+    variable_axes={'params': 0} expects (models/bert.py _ScanBertBody).
+    Non-tower entries pass through untouched. Use after convert_pretrained
+    (or on a checkpoint) when running with scan_layers=True.
+    """
+    import jax
+
+    def stack_tower(tower: Dict[str, Any]) -> Dict[str, Any]:
+        names = sorted((k for k in tower if k.startswith("layer_")),
+                       key=lambda s: int(s.split("_")[1]))
+        if not names:
+            return tower
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: np.stack([np.asarray(x) for x in leaves]),
+            *[tower[n] for n in names])
+        rest = {k: v for k, v in tower.items() if not k.startswith("layer_")}
+        return {"layers_scanned": {"layer": stacked}, **rest}
+
+    out = {}
+    for key, sub in params.items():
+        if key in ("encoder_text_layers", "encoder_vision_layers"):
+            out[key] = stack_tower(sub)
+        elif isinstance(sub, dict):
+            out[key] = stack_tower_layers(sub)
+        else:
+            out[key] = sub
+    return out
+
+
+def unstack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`stack_tower_layers`: scanned (N, ...) tower params
+    back to per-layer {'layer_i': ...} subtrees."""
+    import jax
+
+    def unstack_tower(tower: Dict[str, Any]) -> Dict[str, Any]:
+        if "layers_scanned" not in tower:
+            return tower
+        stacked = tower["layers_scanned"]["layer"]
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        out = {f"layer_{i}": jax.tree_util.tree_map(
+            lambda x, i=i: np.asarray(x)[i], stacked) for i in range(n)}
+        out.update({k: v for k, v in tower.items() if k != "layers_scanned"})
+        return out
+
+    out = {}
+    for key, sub in params.items():
+        if key in ("encoder_text_layers", "encoder_vision_layers"):
+            out[key] = unstack_tower(sub)
+        elif isinstance(sub, dict):
+            out[key] = unstack_tower_layers(sub)
+        else:
+            out[key] = sub
+    return out

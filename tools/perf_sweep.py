@@ -35,6 +35,9 @@ VARIANTS = {
     # loses at D2R shapes (see ops/attention.py); kept for re-evaluation on
     # newer Mosaic toolchains.
     "small_kernel": {"_small_kernel": True},
+    # compile-time feature: towers as one nn.scan over stacked params
+    # (~12x smaller HLO); compile_or_warm_s is the headline number here
+    "scan_layers": {"scan_layers": True},
     "no_dropout_probe": {"_deterministic_probe": True},
 }
 

@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--iters", default=20, type=int)
     ap.add_argument("--out", default="SERVE_BENCH.json",
                     help="driver-capturable JSON artifact path ('' disables)")
+    ap.add_argument("--pixel", default="uint8",
+                    choices=["uint8", "float32"],
+                    help="client pixel format; uint8 = 4x fewer request "
+                         "bytes, normalised on device (pixel_transfer mode)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +62,10 @@ def main():
     for b in buckets:
         batch = synthetic_batch(b, args.max_seq, vc.image_size,
                                 vocab_size=cfg.text_config().vocab_size, seed=b)
+        if args.pixel == "uint8":
+            rng = np.random.RandomState(b)
+            batch["pixel_values"] = rng.randint(
+                0, 256, size=batch["pixel_values"].shape).astype(np.uint8)
         full = latency_stats(pred, batch, iters=args.iters)
         model = latency_stats(pred, batch, iters=args.iters,
                               device_resident=True)
@@ -75,6 +83,7 @@ def main():
             "model_ms", {}).get("p50"),
         "iters": args.iters,
         "max_seq": args.max_seq,
+        "pixel": args.pixel,
     }
     print(json.dumps(payload))
     if args.out:
