@@ -219,17 +219,23 @@ class Trainer(BaseTrainer):
         the model, so the summed loss equals the reference's over its ragged
         batches (ref: modules/train.py:174-188)."""
         true_labels, pred_labels = [], []
-        total_loss = 0.0
+        device_out = []  # (loss, logits) DEVICE arrays; fetched after the loop
         with self.mesh:
             for batch in data:
                 valid = np.asarray(batch.get("valid", np.ones(len(batch["labels"]), bool)))
                 sharded = shard_batch(batch, self.mesh)
                 out = self._eval_step(self.state, sharded)
-                total_loss += float(out["loss"])
-                preds = np.asarray(out["logits"]).argmax(-1)
-                labels = np.asarray(batch["labels"])
-                true_labels.extend(labels[valid].tolist())
-                pred_labels.extend(preds[valid].tolist())
+                # defer device->host transfers: every fetch costs a full
+                # host roundtrip (~30 ms on tunnelled runtimes), so queue all
+                # eval dispatches back-to-back and drain once at the end
+                device_out.append((out["loss"], out["logits"],
+                                   np.asarray(batch["labels"]), valid))
+        total_loss = 0.0
+        for loss, logits, labels, valid in device_out:
+            total_loss += float(loss)
+            preds = np.asarray(logits).argmax(-1)
+            true_labels.extend(labels[valid].tolist())
+            pred_labels.extend(preds[valid].tolist())
         m = get_four_metrics(true_labels, pred_labels, average="weighted",
                              num_classes=self.cfg.num_classes)
         m["loss"] = total_loss

@@ -138,3 +138,39 @@ def test_tp_train_step_update_matches_replicated(eight_devices):
                     jax.tree_util.tree_leaves(s_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_scan_layers_tp_matches_replicated(eight_devices):
+    """cfg.scan_layers under dp x tp: the scanned (N, ...) tower params get a
+    leading-axis-shifted PartitionSpec (parallel/mesh.py) and must reproduce
+    the replicated forward exactly."""
+    from d2r_tpu.utils.weights import stack_tower_layers
+
+    cfg = tiny_test_config(batch_size=8, scan_layers=True)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(8, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=0)
+    inputs = {k: jnp.asarray(v) for k, v in _model_inputs(batch).items()}
+    variables = jax.jit(model.init)(jax.random.key(0), **inputs)
+
+    mesh = make_mesh((2, 2), ("data", "model"))
+    sh = make_param_shardings(variables["params"], mesh)
+    scanned = sh["model"]["encoder_text_layers"]["layers_scanned"]["layer"]
+    # shifted rule: leading (num_layers,) axis unsharded
+    assert scanned["attention_self"]["qkv"]["kernel"].spec == \
+        P(None, None, None, "model")
+    assert scanned["intermediate_dense"]["kernel"].spec == P(None, None, "model")
+
+    @jax.jit
+    def fwd(variables, inputs):
+        loss, logits, aux = model.apply(
+            variables, **inputs, deterministic=True, use_running_average=True)
+        return loss, logits
+
+    l1, g1 = fwd(variables, inputs)
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"], sh)
+    with mesh:
+        l2, g2 = fwd(dict(variables, params=params), shard_batch(inputs, mesh))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
