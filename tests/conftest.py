@@ -27,3 +27,10 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) == 8, f"expected 8 virtual devices, got {len(devices)}"
     return devices
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (full-model jits on the 1-core CPU host); "
+        "deselect for quick iteration with -m 'not slow'")

@@ -3,6 +3,7 @@ unrolled per-layer stacks compute, given restacked params
 (utils/weights.py stack_tower_layers / unstack_tower_layers)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +21,7 @@ def _batch(cfg):
     return {k: jnp.asarray(v) for k, v in _model_inputs(b).items()}
 
 
+@pytest.mark.slow
 def test_scanned_matches_unrolled_forward():
     cfg = tiny_test_config()
     cfg_scan = tiny_test_config(scan_layers=True)
@@ -59,6 +61,7 @@ def test_stack_unstack_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_scanned_train_step_runs_and_matches():
     """One jitted train step: scanned and unrolled must produce the same
     loss and the same updated tower params (restacked for comparison)."""

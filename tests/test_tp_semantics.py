@@ -109,6 +109,7 @@ def test_tp_loss_logits_match_replicated(eight_devices, mesh_shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_train_step_update_matches_replicated(eight_devices):
     """The FULL jitted train step (grads + AdamW + BatchNorm update) under a
     (2,2) dp x tp mesh lands on the same parameters as the replicated run."""
@@ -140,6 +141,7 @@ def test_tp_train_step_update_matches_replicated(eight_devices):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_scan_layers_tp_matches_replicated(eight_devices):
     """cfg.scan_layers under dp x tp: the scanned (N, ...) tower params get a
     leading-axis-shifted PartitionSpec (parallel/mesh.py) and must reproduce

@@ -78,6 +78,7 @@ class TestTrainState:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow
     def test_overfit_8_samples(self):
         """e2e regression: a tiny model must memorise 8 fixed samples."""
         cfg = tiny_test_config(batch_size=8, lr=3e-4, warmup_ratio=0.05)
@@ -118,6 +119,7 @@ class TestMultiStepDispatch:
         return jax.tree_util.tree_map(
             lambda x: x.copy() if isinstance(x, jax.Array) else x, st)
 
+    @pytest.mark.slow
     def test_multi_step_matches_single_steps(self):
         from d2r_tpu.train.state import make_multi_step
         cfg = tiny_test_config(batch_size=4)
@@ -146,6 +148,7 @@ class TestMultiStepDispatch:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-7)
 
+    @pytest.mark.slow
     def test_trainer_dispatch_grouping_invariance(self):
         """Full Trainer runs with steps_per_dispatch 1 vs 4 land on the same
         parameters (same seed, same data order)."""
@@ -171,6 +174,7 @@ class TestMultiStepDispatch:
 
 
 class TestWrappedBatchExactness:
+    @pytest.mark.slow
     def test_eval_loss_identical_full_vs_wrapped(self):
         """Eval loss on a wrap-padded static batch == eval loss on the ragged
         batch the reference would see (CE and JS both valid-masked)."""

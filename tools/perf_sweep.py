@@ -38,6 +38,11 @@ VARIANTS = {
     # compile-time feature: towers as one nn.scan over stacked params
     # (~12x smaller HLO); compile_or_warm_s is the headline number here
     "scan_layers": {"scan_layers": True},
+    # max-throughput configs (informational): the recipe pins bsz 64, but
+    # larger batches amortise the fixed per-step weight/optimizer HBM
+    # traffic; samples_per_sec is still per chip
+    "bsz128": {"_batch_size": 128, "_uint8_pixels": True},
+    "bsz256": {"_batch_size": 256, "_uint8_pixels": True},
     "no_dropout_probe": {"_deterministic_probe": True},
 }
 
@@ -57,6 +62,8 @@ def measure(overrides):
 
     overrides = dict(overrides)
     det_probe = overrides.pop("_deterministic_probe", False)
+    batch_size = overrides.pop("_batch_size", BATCH_SIZE)
+    uint8_pixels = overrides.pop("_uint8_pixels", False)
     if overrides.pop("_small_kernel", False):
         from d2r_tpu.ops import attention
         attention.SMALL_KERNEL_OPT_IN = True
@@ -64,11 +71,17 @@ def measure(overrides):
     kwargs = dict(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
                   compute_dtype="bfloat16", use_pallas=True)
     kwargs.update(overrides)
+    kwargs["batch_size"] = batch_size
     cfg = D2RConfig(**kwargs)
     model = D2RClassifier(cfg)
     vc = cfg.vision_config()
-    batch_np = synthetic_batch(BATCH_SIZE, MAX_SEQ, vc.image_size,
+    batch_np = synthetic_batch(batch_size, MAX_SEQ, vc.image_size,
                                vocab_size=cfg.text_config().vocab_size, seed=0)
+    if uint8_pixels:
+        # production pixel_transfer='uint8' shape: raw pixels, device-side
+        # normalisation — 4x smaller stacked input buffers for big batches
+        batch_np["pixel_values"] = np.random.RandomState(0).randint(
+            0, 256, size=batch_np["pixel_values"].shape).astype(np.uint8)
     batch = {k: jax.device_put(v) for k, v in batch_np.items()}
     state = create_train_state(model, cfg, None, jax.random.key(0), batch,
                                total_steps=1000)
@@ -115,6 +128,7 @@ def measure(overrides):
         rts.append(time.perf_counter() - t0)
     roundtrip = statistics.median(rts)
 
+    del batch_np
     nets = []
     loss = None
     for _ in range(NUM_WINDOWS):
@@ -128,7 +142,7 @@ def measure(overrides):
     net = statistics.median(nets)
     assert np.isfinite(loss), loss
     return {
-        "samples_per_sec": round(BATCH_SIZE * MEASURE_STEPS / net, 1),
+        "samples_per_sec": round(batch_size * MEASURE_STEPS / net, 1),
         "step_ms": round(net / MEASURE_STEPS * 1e3, 2),
         "roundtrip_ms": round(roundtrip * 1e3, 2),
         "compile_or_warm_s": round(compile_s, 1),
