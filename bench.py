@@ -21,12 +21,13 @@ silent clamp and is invalid):
     would require >2.7 PFLOP/s at ~135 GFLOP/sample — impossible on one v5e.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md
-section 6). Baseline is therefore an engineering estimate of the reference's
+section 6). Baseline is an engineering estimate of the reference's
 PyTorch-1.7.1 fp32 (no AMP, ref: modules/train.py:119-128) fine-tune
 throughput on its published hardware (1x RTX 3090, ref: README.md:9):
-~135 GFLOP/sample train cost at these shapes against ~13 effective TFLOP/s
-for eager fp32 torch on GA102 -> ~100 samples/sec. BASELINE.json's target is
->=10x this per chip.
+~100 samples/sec. The full derivation (analytic FLOP count cross-checked
+against XLA's cost analysis, GA102 roofline, eager-overhead discount, and
+a BERT-fine-tune sanity anchor) lives in BASELINE.md "Baseline derivation".
+BASELINE.json's target is >=10x this per chip.
 """
 
 import json
@@ -41,9 +42,11 @@ MAX_SEQ = 64
 MEASURE_STEPS = 30
 NUM_WINDOWS = 5
 ROUNDTRIP_PROBES = 5
-# One v5e chip peaks at ~394 bf16 TFLOP/s; the step costs ~135 GFLOP/sample,
-# so even perfect MXU utilisation cannot exceed ~2,900 samples/s. 20,000 is a
-# generous 7x margin over physics — anything above it is a broken measurement.
+# One v5e chip peaks at ~197 bf16 TFLOP/s (394 is the int8 number); the step
+# costs ~106 GFLOP/sample (XLA cost analysis: 6.8 TFLOP / 64 samples), so
+# even perfect MXU utilisation cannot exceed ~1,860 samples/s. 20,000 is a
+# >10x margin over physics — anything above it is a broken measurement.
+# Derivation: BASELINE.md "Baseline derivation" + docs/ROOFLINE.md.
 CEILING_SAMPLES_PER_SEC = 20_000.0
 
 

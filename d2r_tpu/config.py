@@ -253,14 +253,20 @@ class D2RConfig:
         key = self.bert_name.split("/")[-1]
         factory = _TEXT_PRESETS.get(key) or _TEXT_PRESETS.get(self.bert_name)
         if factory is None:
-            factory = bert_base_config
+            # No silent geometry fallback: a typo'd --bert_name must not
+            # quietly train bert-base-uncased shapes.
+            raise ValueError(
+                f"unknown text encoder preset {self.bert_name!r}; known: "
+                f"{sorted(_TEXT_PRESETS)} (register_text_preset adds more)")
         return factory()
 
     def vision_config(self) -> VisionEncoderConfig:
         key = self.vit_name.split("/")[-1]
         factory = _VISION_PRESETS.get(key) or _VISION_PRESETS.get(self.vit_name)
         if factory is None:
-            factory = clip_vit_b32_config
+            raise ValueError(
+                f"unknown vision encoder preset {self.vit_name!r}; known: "
+                f"{sorted(_VISION_PRESETS)} (register_vision_preset adds more)")
         return factory()
 
     @property

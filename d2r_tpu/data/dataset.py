@@ -114,9 +114,19 @@ class MSDDataset:
                 image_size=self.image_size,
                 fallback_path=self.fallback,
                 raw_uint8=raw_u8)
+        elif raw_u8:
+            # Text-only runs (img_path=None): float32 zeros are
+            # ALREADY-NORMALISED zeros, so the raw-uint8 placeholder must be
+            # the CLIP per-channel mean pixel — device normalisation maps it
+            # back to ~0 (within 1 quantisation LSB), preserving the
+            # documented float32/uint8 equivalence.
+            from d2r_tpu.data.image import CLIP_MEAN
+            pixel_values = np.broadcast_to(
+                np.rint(CLIP_MEAN * 255.0).astype(np.uint8)[:, None, None],
+                (3, self.image_size, self.image_size)).copy()
         else:
             pixel_values = np.zeros((3, self.image_size, self.image_size),
-                                    np.uint8 if raw_u8 else np.float32)
+                                    np.float32)
 
         item = {
             "input_ids": input_ids,

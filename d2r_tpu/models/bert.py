@@ -166,8 +166,13 @@ class BertEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, key_bias=None, deterministic: bool = True):
         if self.scan_layers:
+            # remat composes with scan: rematerialise each scan-body step
+            # (previously remat was silently ignored under scan_layers).
+            body = _ScanBertBody
+            if self.remat:
+                body = nn.remat(_ScanBertBody, static_argnums=(3,))
             scan = nn.scan(
-                _ScanBertBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),

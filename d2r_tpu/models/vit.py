@@ -155,8 +155,11 @@ class CLIPVisionEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.scan_layers:
+            body = _ScanCLIPBody
+            if self.remat:
+                body = nn.remat(_ScanCLIPBody, static_argnums=(2,))
             scan = nn.scan(
-                _ScanCLIPBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast,),

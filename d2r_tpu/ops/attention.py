@@ -42,6 +42,19 @@ PALLAS_MIN_KV_LEN = 256
 # any future toolchain where Mosaic lowers it better).
 SMALL_KERNEL_OPT_IN = False
 
+# Pad sublane-ragged attention sequence dims (the 50 vision tokens) up to a
+# multiple of _SEQ_PAD_MULTIPLE inside the XLA einsum path: padded KEYS get a
+# -1e9 additive bias (exp underflows to exactly 0.0 in fp32, so real rows'
+# softmax is bit-identical), padded QUERY rows are sliced off the output.
+# Exact math either way (tests/test_ops.py); a perf A/B knob for whether
+# XLA tiles (B,H,64,*) dots onto the MXU better than (B,H,50,*).
+PAD_RAGGED_SEQ = False
+_SEQ_PAD_MULTIPLE = 64
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
 
 def _supports_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     if jax.default_backend() != "tpu":
@@ -109,6 +122,21 @@ def dot_product_attention(
                               v.transpose(0, 2, 1, 3), key_bias, scale)
         return out.transpose(0, 2, 1, 3)
 
+    lq = q.shape[1]
+    if PAD_RAGGED_SEQ:
+        m = _SEQ_PAD_MULTIPLE
+        lq_p, s_p = _round_up(lq, m), _round_up(k.shape[1], m)
+        if lq_p != lq:
+            q = jnp.pad(q, ((0, 0), (0, lq_p - lq), (0, 0), (0, 0)))
+        if s_p != k.shape[1]:
+            pad_s = s_p - k.shape[1]
+            if key_bias is None:
+                key_bias = jnp.zeros(k.shape[:2], jnp.float32)
+            key_bias = jnp.pad(key_bias, ((0, 0), (0, pad_s)),
+                               constant_values=-1e9)
+            k = jnp.pad(k, ((0, 0), (0, pad_s), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad_s), (0, 0), (0, 0)))
+
     s = jnp.einsum("blhd,bshd->bhls", q, k, preferred_element_type=jnp.float32)
     s = s * scale
     if key_bias is not None:
@@ -119,8 +147,9 @@ def dot_product_attention(
             raise ValueError("dropout_rng required when dropout is active")
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhls,bshd->blhd", p.astype(q.dtype), v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    out = jnp.einsum("bhls,bshd->blhd", p.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out[:, :lq] if out.shape[1] != lq else out
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:

@@ -41,6 +41,17 @@ class Predictor:
         self.model = D2RClassifier(cfg)
         self.batch_buckets = sorted(batch_buckets)
         self.seq_buckets = sorted(seq_buckets or [cfg.max_seq])
+        if len(self.seq_buckets) != 1:
+            # The Router mean-pools over PADDED tokens (reference quirk,
+            # docs/PARITY.md / models/router.py), so the same request padded
+            # to different seq lengths yields different logits. Multiple seq
+            # buckets would silently serve bucket-dependent predictions;
+            # batch bucketing is the safe axis (rows are independent).
+            raise ValueError(
+                f"multiple seq_buckets {self.seq_buckets} are unsafe: the "
+                "router's pad-pooling makes logits depend on the padded "
+                "sequence length, so bucket choice would change predictions. "
+                "Use exactly one seq bucket (default: cfg.max_seq).")
         self._fns: Dict[Tuple[int, int], callable] = {}
 
     def _fn(self, b: int, l: int):

@@ -152,9 +152,31 @@ class Trainer(BaseTrainer):
             window_losses, window_steps = [], 0
             last_log_step = self.step
 
+        # --profile_dir: capture a device trace of the SECOND dispatch (the
+        # first one includes compilation) into cfg.profile_dir.
+        profile_state = {"count": 0, "active": False}
+
+        def maybe_trace_dispatch(after: bool):
+            if not cfg.profile_dir:
+                return
+            if not after and profile_state["count"] == 1:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profile_state["active"] = True
+            elif after:
+                profile_state["count"] += 1
+                if profile_state["active"]:
+                    # force a device->host sync so the traced program's
+                    # execution is inside the capture window
+                    _ = np.asarray(jnp.atleast_1d(window_losses[-1]))
+                    jax.profiler.stop_trace()
+                    profile_state["active"] = False
+                    self.logger.info("Wrote profile trace to %s",
+                                     cfg.profile_dir)
+
         def dispatch(buf, epoch):
             """Run len(buf) train steps in one device program."""
             nonlocal seen, window_losses, window_steps
+            maybe_trace_dispatch(after=False)
             k = len(buf)
             for b in buf:
                 seen += int(np.sum(np.asarray(b.get("valid", cfg.batch_size))))
@@ -174,6 +196,7 @@ class Trainer(BaseTrainer):
                 window_losses.append(metrics["losses"])
             self.step += k
             window_steps += k
+            maybe_trace_dispatch(after=True)
             if self.step - last_log_step >= cfg.log_steps:
                 flush_log(epoch)
 

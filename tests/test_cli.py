@@ -45,6 +45,23 @@ def test_recipe_flags_round_trip():
     assert cfg.num_classes == 3
 
 
+def test_unknown_encoder_presets_raise():
+    # No silent geometry fallback: a typo'd name must not quietly train
+    # bert-base-uncased / ViT-B/32 shapes.
+    import pytest
+
+    from d2r_tpu.config import D2RConfig
+
+    with pytest.raises(ValueError, match="unknown text encoder preset"):
+        D2RConfig(bert_name="roberta-larg").text_config()
+    with pytest.raises(ValueError, match="unknown vision encoder preset"):
+        D2RConfig(vit_name="clip-vit-larg").vision_config()
+    # known names (with or without the org prefix) still resolve
+    assert D2RConfig(bert_name="roberta-large").text_config().hidden_size == 1024
+    assert D2RConfig(
+        vit_name="openai/clip-vit-base-patch32").vision_config().patch_size == 32
+
+
 def test_dataset_path_conventions():
     args = build_arg_parser().parse_args(["--dataset", "mvsa-single"])
     p = dataset_paths(args)

@@ -185,6 +185,27 @@ class TestPixelTransfer:
             # 1 uint8 LSB after normalisation: (1/255)/std ~ 0.015
             np.testing.assert_allclose(dev, host, atol=0.016)
 
+    def test_text_only_placeholder_normalises_to_zero(self, fake_data):
+        """img_path=None: the uint8 placeholder must be the CLIP mean pixel
+        so device normalisation maps it to ~0 — matching the float32 path's
+        already-normalised zeros (raw uint8 ZEROS would be black pixels)."""
+        from d2r_tpu.data.image import CLIP_MEAN, CLIP_STD
+
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds8 = MSDDataset(proc, None, max_seq=16, mode="train",
+                         image_size=32, pixel_transfer="uint8")
+        raw = ds8[0]["pixel_values"]
+        assert raw.dtype == np.uint8
+        dev = ((raw.astype(np.float32) / 255.0 - CLIP_MEAN[:, None, None])
+               / CLIP_STD[:, None, None])
+        # within 1 uint8 quantisation LSB of the float32 path's zeros
+        assert np.abs(dev).max() <= (0.5 / 255.0) / CLIP_STD.min() + 1e-6
+
+        ds32 = MSDDataset(proc, None, max_seq=16, mode="train",
+                          image_size=32, pixel_transfer="float32")
+        assert ds32[0]["pixel_values"].dtype == np.float32
+        np.testing.assert_array_equal(ds32[0]["pixel_values"], 0.0)
+
     def test_model_accepts_uint8_pixels(self):
         import jax
         import jax.numpy as jnp

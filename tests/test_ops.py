@@ -41,6 +41,36 @@ class TestAttention:
         out_sliced = dot_product_attention(q, k[:, :3], v[:, :3], use_pallas=False)
         np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_sliced), atol=1e-4)
 
+    def test_pad_ragged_seq_is_exact(self):
+        """PAD_RAGGED_SEQ (50 vision tokens -> 64 inside the einsum path)
+        must not change the math: padded keys' -1e9 bias underflows to
+        exactly 0 probability, padded query rows are sliced off."""
+        from d2r_tpu.ops import attention
+
+        rng = np.random.default_rng(3)
+        b, l, s, h, d = 2, 50, 50, 4, 16
+        q = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        mask = jnp.asarray(rng.integers(0, 2, size=(b, s)) | 1)  # keep row 0
+        bias = padding_key_bias(mask)
+        baseline = dot_product_attention(q, k, v, key_bias=bias,
+                                         use_pallas=False)
+        no_bias_baseline = dot_product_attention(q, k, v, use_pallas=False)
+        prev = attention.PAD_RAGGED_SEQ
+        attention.PAD_RAGGED_SEQ = True
+        try:
+            padded = dot_product_attention(q, k, v, key_bias=bias,
+                                           use_pallas=False)
+            padded_nb = dot_product_attention(q, k, v, use_pallas=False)
+        finally:
+            attention.PAD_RAGGED_SEQ = prev
+        assert padded.shape == baseline.shape
+        np.testing.assert_allclose(np.asarray(padded), np.asarray(baseline),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(padded_nb),
+                                   np.asarray(no_bias_baseline), atol=1e-6)
+
     def test_split_merge_roundtrip(self):
         x = jnp.arange(2 * 4 * 12, dtype=jnp.float32).reshape(2, 4, 12)
         np.testing.assert_array_equal(

@@ -62,13 +62,57 @@ def test_stack_unstack_roundtrip():
 
 
 @pytest.mark.slow
+def test_scan_plus_remat_matches_scan():
+    """remat composes with scan_layers (the combination used to be silently
+    ignored): same forward values, and grads still flow."""
+    cfg_scan = tiny_test_config(scan_layers=True)
+    cfg_both = tiny_test_config(scan_layers=True, remat=True)
+    batch = _batch(cfg_scan)
+
+    model_scan = D2RClassifier(cfg_scan)
+    model_both = D2RClassifier(cfg_both)
+    variables = model_scan.init(jax.random.key(0), **batch)
+
+    def loss_of(model, params):
+        loss, _, _ = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            **batch, deterministic=True, use_running_average=True)
+        return loss
+
+    l1, g1 = jax.value_and_grad(lambda p: loss_of(model_scan, p))(
+        variables["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss_of(model_both, p))(
+        variables["params"])
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_scanned_train_step_runs_and_matches():
-    """One jitted train step: scanned and unrolled must produce the same
-    loss and the same updated tower params (restacked for comparison)."""
+    """One jitted train step with dropout DISABLED (zero-rate presets, so the
+    per-layer rng split can't allocate different bits): scanned and unrolled
+    must produce the same loss AND the same updated tower params (restacked
+    for comparison) — guards the scan_layers backward/optimizer path."""
+    from d2r_tpu.config import (TextEncoderConfig, VisionEncoderConfig,
+                                register_text_preset, register_vision_preset)
     from d2r_tpu.train.state import create_train_state, make_train_step
 
-    cfg = tiny_test_config(compute_dtype="float32")
-    cfg_scan = tiny_test_config(compute_dtype="float32", scan_layers=True)
+    register_text_preset("nodrop-bert", lambda: TextEncoderConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0))
+    register_vision_preset("nodrop-vit", lambda: VisionEncoderConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=16))
+
+    kw = dict(bert_name="nodrop-bert", vit_name="nodrop-vit",
+              compute_dtype="float32")
+    cfg = tiny_test_config(**kw)
+    cfg_scan = tiny_test_config(scan_layers=True, **kw)
     batch = _batch(cfg)
 
     model = D2RClassifier(cfg)
@@ -85,10 +129,17 @@ def test_scanned_train_step_runs_and_matches():
     state_scan = state_scan.replace(params=fresh)
 
     rng = jax.random.key(7)
-    # deterministic comparison: dropout off via a deterministic-forward step
-    # is not exposed here, so compare with dropout rate 0 configs instead
-    _, m1 = make_train_step(model)(state, batch, rng)
-    _, m2 = make_train_step(model_scan)(state_scan, batch, rng)
-    # losses may differ through dropout bit allocation; tiny_test_config has
-    # dropout > 0 only if the preset sets it — assert finite and close
-    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    new1, m1 = make_train_step(model)(state, batch, rng)
+    new2, m2 = make_train_step(model_scan)(state_scan, batch, rng)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-6, atol=1e-7)
+    restacked = stack_tower_layers(new1.params)
+    assert (jax.tree_util.tree_structure(new2.params)
+            == jax.tree_util.tree_structure(restacked))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(restacked),
+            jax.tree_util.tree_leaves_with_path(new2.params)):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))

@@ -54,6 +54,33 @@ def test_bucketed_result_matches_exact_batch():
     np.testing.assert_allclose(one["probs"][0], full["probs"][0], atol=2e-5)
 
 
+def test_multi_seq_buckets_rejected():
+    """The router pad-pooling quirk makes logits depend on padded seq length,
+    so multi-bucket seq serving would be a silent correctness bug."""
+    import pytest
+
+    cfg, variables, _ = _setup()
+    with pytest.raises(ValueError, match="pad-pooling"):
+        Predictor(cfg, variables, seq_buckets=(8, cfg.max_seq))
+    # single non-default bucket is fine
+    Predictor(cfg, variables, seq_buckets=(cfg.max_seq,))
+
+
+def test_batch_bucket_choice_is_invariant():
+    """BATCH bucketing is the safe axis: the same rows served through a
+    2-bucket and a 4-bucket give the same probabilities."""
+    cfg, variables, batch = _setup()
+    pred_small = Predictor(cfg, variables, batch_buckets=(2,),
+                           seq_buckets=(cfg.max_seq,))
+    pred_big = Predictor(cfg, variables, batch_buckets=(4,),
+                         seq_buckets=(cfg.max_seq,))
+    a = pred_small.predict(batch["input_ids"][:2], batch["attention_mask"][:2],
+                           batch["token_type_ids"][:2], batch["pixel_values"][:2])
+    b = pred_big.predict(batch["input_ids"][:2], batch["attention_mask"][:2],
+                         batch["token_type_ids"][:2], batch["pixel_values"][:2])
+    np.testing.assert_allclose(a["probs"], b["probs"], atol=2e-5)
+
+
 def test_jit_cache_reused_across_requests():
     cfg, variables, batch = _setup()
     pred = Predictor(cfg, variables, batch_buckets=(4,), seq_buckets=(cfg.max_seq,))

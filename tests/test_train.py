@@ -173,6 +173,27 @@ class TestMultiStepDispatch:
                                        rtol=1e-5, atol=1e-7)
 
 
+class TestProfileDir:
+    def test_profile_dir_writes_trace(self, tmp_path):
+        """--profile_dir traces the second dispatch into the given dir (the
+        flag used to be plumbed but dead on the Trainer path)."""
+        from d2r_tpu.train.trainer import Trainer
+
+        pdir = str(tmp_path / "trace")
+        cfg = tiny_test_config(batch_size=4, num_epochs=1,
+                               eval_begin_epoch=99, save_path=None,
+                               steps_per_dispatch=1, profile_dir=pdir)
+        model = D2RClassifier(cfg)
+        data = [_tiny_batch(cfg, seed=s) for s in range(3)]
+        tr = Trainer(train_data=data, dev_data=None, test_data=None,
+                     model=model, cfg=cfg)
+        tr.train()
+        assert tr.step == 3
+        # jax.profiler writes plugins/profile/<run>/ under the trace dir
+        found = [os.path.join(r, f) for r, _, fs in os.walk(pdir) for f in fs]
+        assert found, f"no trace files under {pdir}"
+
+
 class TestWrappedBatchExactness:
     @pytest.mark.slow
     def test_eval_loss_identical_full_vs_wrapped(self):

@@ -44,6 +44,14 @@ VARIANTS = {
     "bsz128": {"_batch_size": 128, "_uint8_pixels": True},
     "bsz256": {"_batch_size": 256, "_uint8_pixels": True},
     "no_dropout_probe": {"_deterministic_probe": True},
+    # round-3 levers (VERDICT next-round item 2)
+    # (a) pad the ragged 50-token vision attention dims to 64 inside the
+    # einsum path — exact math (tests/test_ops.py), pure tiling question
+    "pad_ragged": {"_pad_ragged": True},
+    # (b) the 64->128 batch sweep bracketed but never probed the interior
+    "bsz96": {"_batch_size": 96, "_uint8_pixels": True},
+    # (d) BASELINE config 3: the padded-seqlen-128 recipe point
+    "seq128": {"_max_seq": 128, "_uint8_pixels": True},
 }
 
 
@@ -60,22 +68,31 @@ def measure(overrides):
     from d2r_tpu.train.state import (_model_inputs, create_train_state,
                                      make_multi_step)
 
+    # Module-global knobs: force a known state for EVERY variant so a
+    # 'small_kernel'/'pad_ragged' run earlier in the sweep can't leak into
+    # later A/Bs (main() runs variants sequentially in one process).
+    from d2r_tpu.ops import attention
+    attention.SMALL_KERNEL_OPT_IN = False
+    attention.PAD_RAGGED_SEQ = False
+
     overrides = dict(overrides)
     det_probe = overrides.pop("_deterministic_probe", False)
     batch_size = overrides.pop("_batch_size", BATCH_SIZE)
+    max_seq = overrides.pop("_max_seq", MAX_SEQ)
     uint8_pixels = overrides.pop("_uint8_pixels", False)
     if overrides.pop("_small_kernel", False):
-        from d2r_tpu.ops import attention
         attention.SMALL_KERNEL_OPT_IN = True
+    if overrides.pop("_pad_ragged", False):
+        attention.PAD_RAGGED_SEQ = True
 
-    kwargs = dict(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
+    kwargs = dict(DR_step=4, max_seq=max_seq, batch_size=BATCH_SIZE,
                   compute_dtype="bfloat16", use_pallas=True)
     kwargs.update(overrides)
     kwargs["batch_size"] = batch_size
     cfg = D2RConfig(**kwargs)
     model = D2RClassifier(cfg)
     vc = cfg.vision_config()
-    batch_np = synthetic_batch(batch_size, MAX_SEQ, vc.image_size,
+    batch_np = synthetic_batch(batch_size, max_seq, vc.image_size,
                                vocab_size=cfg.text_config().vocab_size, seed=0)
     if uint8_pixels:
         # production pixel_transfer='uint8' shape: raw pixels, device-side

@@ -48,6 +48,18 @@ def main() -> None:
     p.add_argument("--max_seq", default=64, type=int)
     p.add_argument("--num_classes", default=3, type=int)
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    # Geometry / loop-shape overrides (recipe defaults). A CI smoke run uses
+    # the registered tiny presets to execute this exact path end-to-end with
+    # fabricated assets (tests/test_real_assets_harness.py).
+    p.add_argument("--bert_name", default="bert-base-uncased")
+    p.add_argument("--vit_name", default="clip-vit-base-patch32")
+    p.add_argument("--embed_size", default=768, type=int)
+    p.add_argument("--num_head_IMRC", default=16, type=int)
+    p.add_argument("--hid_IMRC", default=768, type=int)
+    p.add_argument("--hid_router", default=768, type=int)
+    p.add_argument("--DR_step", default=4, type=int)
+    p.add_argument("--steps_per_dispatch", default=16, type=int)
+    p.add_argument("--eval_begin_epoch", default=1, type=int)
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -78,10 +90,16 @@ def main() -> None:
         # the reference recipe (ref: run.sh:1-21)
         num_epochs=args.num_epochs, lr=args.lr, warmup_ratio=args.warmup_ratio,
         seed=args.seed, batch_size=args.batch_size, max_seq=args.max_seq,
-        weight_js_1=0.9, weight_js_2=0.3, DR_step=4,
+        weight_js_1=0.9, weight_js_2=0.3, DR_step=args.DR_step,
         num_classes=args.num_classes,
         save_path=args.save_path,
+        bert_name=args.bert_name, vit_name=args.vit_name,
+        embed_size=args.embed_size, num_head_IMRC=args.num_head_IMRC,
+        hid_IMRC=args.hid_IMRC, hid_router=args.hid_router,
+        steps_per_dispatch=args.steps_per_dispatch,
+        eval_begin_epoch=args.eval_begin_epoch,
         compute_dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
+        use_pallas=jax.default_backend() == "tpu",
     )
     vc, tc = cfg.vision_config(), cfg.text_config()
 
