@@ -87,7 +87,8 @@ class GlobalLocalAlignmentCell(nn.Module):
 
     @nn.compact
     def __call__(self, text: Array, image: Array,
-                 use_running_average: bool = False) -> CellOut:
+                 use_running_average: bool = False,
+                 valid: Array = None) -> CellOut:
         c = self.cfg
         d = c.embed_size
         path_prob = Router(self.num_out_path, c.hid_router,
@@ -111,7 +112,8 @@ class GlobalLocalAlignmentCell(nn.Module):
 
         sim_emb = jnp.concatenate([sim_global[:, None, :], sim_local], axis=1)
         sim_emb = AttentionFiltration(d, dtype=self.dtype, name="saf")(
-            sim_emb, use_running_average=use_running_average)  # (B, D)
+            sim_emb, use_running_average=use_running_average,
+            row_valid=valid)  # (B, D)
         emb = jnp.broadcast_to(sim_emb[:, None, :],
                                (text.shape[0], text.shape[1], d))
         return emb, path_prob

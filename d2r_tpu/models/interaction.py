@@ -69,6 +69,7 @@ class DynamicRoutingLayer(nn.Module):
         primary: Optional[Array],          # (B, L, D); required iff streams is None
         context: Array,                    # (B, S, D) other-modality tokens
         use_running_average: bool = False,
+        valid: Optional[Array] = None,     # (B,) row mask -> GLAC's BN stats
     ) -> Tuple[Array, Array]:
         c = self.cfg
         threshold = c.routing_threshold    # 1e-4, ref: DynamicInteraction.py:24
@@ -85,7 +86,8 @@ class DynamicRoutingLayer(nn.Module):
                                          name="ric")(inputs[0])
         emb1, p1 = GlobalLocalAlignmentCell(c, self.num_out_path, self.dtype,
                                             name="glac")(
-            inputs[1], context, use_running_average=use_running_average)
+            inputs[1], context, use_running_average=use_running_average,
+            valid=valid)
         emb2, p2 = IntraModelReasoningCell(c, self.num_out_path, self.dtype,
                                            name="imrc")(inputs[2])
         emb3, p3 = CrossModalRefinementCell(c, self.num_out_path, self.dtype,
@@ -140,7 +142,8 @@ class InteractionModule(nn.Module):
 
     @nn.compact
     def __call__(self, text: Array, image: Array,
-                 use_running_average: bool = False) -> Tuple[Array, Array]:
+                 use_running_average: bool = False,
+                 valid: Optional[Array] = None) -> Tuple[Array, Array]:
         c = self.cfg
         num_layers = c.DR_step  # num_layer_routing, ref: modeling_unimo.py:781
         assert num_layers >= 3, "DR_step must be >= 3 (reference requires one mid layer)"
@@ -150,18 +153,18 @@ class InteractionModule(nn.Module):
 
         streams, paths_l0 = DynamicRoutingLayer(
             c, NUM_CELLS, self.dtype, name="dynamic_itr_l0")(
-            None, primary, context, use_running_average)
+            None, primary, context, use_running_average, valid)
 
         mid_paths = []
         for i in range(num_layers - 2):
             streams, p = DynamicRoutingLayer(
                 c, NUM_CELLS, self.dtype, name=f"dynamic_itr_l1_{i}")(
-                streams, None, context, use_running_average)
+                streams, None, context, use_running_average, valid)
             mid_paths.append(p)
 
         final_streams, paths_l2 = DynamicRoutingLayer(
             c, 1, self.dtype, name="dynamic_itr_l2")(
-            streams, None, context, use_running_average)
+            streams, None, context, use_running_average, valid)
 
         # Path signature: 6^2*(DR_step-1) + 6 dims
         # (ref: models/InteractionModule.py:33-47).

@@ -142,8 +142,16 @@ class TorchBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
-        """x: (..., num_features); statistics are over all leading axes."""
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None,
+                 row_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (..., num_features); statistics are over all leading axes.
+
+        ``row_valid`` (B,) restricts train-mode statistics to valid rows:
+        wrap-padded final batches then update running stats with EXACTLY the
+        reference's ragged-batch statistics (docs/PARITY.md item 3 closed).
+        Padded rows are still normalised (with the valid-row stats) — their
+        downstream values are discarded by the valid-masked losses/metrics.
+        """
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
         scale = self.param("scale", nn.initializers.ones, (self.num_features,))
@@ -158,13 +166,25 @@ class TorchBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean = jnp.mean(x32, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
-            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+            if row_valid is not None:
+                w = row_valid.astype(jnp.float32).reshape(
+                    (x.shape[0],) + (1,) * (x.ndim - 1))
+                per_row = 1
+                for a in reduce_axes[1:]:
+                    per_row *= x.shape[a]
+                count = jnp.sum(w) * per_row  # valid rows x positions
+                mean = jnp.sum(x32 * w, axis=reduce_axes) / count
+                var = jnp.sum(w * jnp.square(x32 - mean), axis=reduce_axes) / count
+                unbiased_n = count / jnp.maximum(count - 1.0, 1.0)
+            else:
+                mean = jnp.mean(x32, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
                 n = 1
                 for a in reduce_axes:
                     n *= x.shape[a]
-                unbiased = var * (n / max(n - 1, 1))
+                unbiased_n = n / max(n - 1, 1)
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                unbiased = var * unbiased_n
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)

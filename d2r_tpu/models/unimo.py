@@ -95,12 +95,15 @@ class D2RModel(nn.Module):
 
         # --- dynamic routing, both branch directions (ref: :842-843).
         # Both consume the raw tower outputs, NOT the self-attended ones. ---
+        # `valid` also reaches GLAC's SAF BatchNorm so train-mode statistics
+        # on wrap-padded final batches match the reference's ragged batch
+        # exactly (docs/PARITY.md item 3).
         text_stream, sim_paths = InteractionModule(
             c, reversed_mode=False, dtype=dtype, name="itr_module")(
-            text_out, vision_out, use_running_average)
+            text_out, vision_out, use_running_average, valid)
         vision_stream, rev_sim_paths = InteractionModule(
             c, reversed_mode=True, dtype=dtype, name="Reversed_itr_module")(
-            text_out, vision_out, use_running_average)
+            text_out, vision_out, use_running_average, valid)
 
         # --- CLS Gram matrices + (negative) JS loss (ref: :845-849).
         # `valid` masks wrap-padded rows out of the Gram softmaxes + batchmean

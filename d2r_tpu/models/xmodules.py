@@ -97,9 +97,10 @@ class AttentionFiltration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, sim_emb: jnp.ndarray, use_running_average: bool = False
-                 ) -> jnp.ndarray:
-        """(B, L+1, D) -> (B, D)."""
+    def __call__(self, sim_emb: jnp.ndarray, use_running_average: bool = False,
+                 row_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """(B, L+1, D) -> (B, D). ``row_valid`` keeps wrap-padded rows out of
+        the train-mode BatchNorm statistics (exact ragged-batch math)."""
         in_f = sim_emb.shape[-1]
         kernel = self.param("attn_sim_w_kernel",
                             _xavier_uniform_with_zero_bias(in_f, 1), (in_f, 1))
@@ -108,7 +109,8 @@ class AttentionFiltration(nn.Module):
                             kernel.astype(self.dtype)) + bias.astype(self.dtype)
         # torch: BatchNorm1d(1) over (B, C=1, L) — stats over batch*length.
         scores = TorchBatchNorm(1, dtype=self.dtype, name="bn")(
-            scores, use_running_average=use_running_average)  # (B, L, 1)
+            scores, use_running_average=use_running_average,
+            row_valid=row_valid)  # (B, L, 1)
         weights = l1norm(jax.nn.sigmoid(scores[..., 0]), axis=-1)  # (B, L)
         pooled = jnp.einsum("bl,bld->bd", weights, sim_emb,
                             preferred_element_type=jnp.float32).astype(self.dtype)

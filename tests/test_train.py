@@ -217,6 +217,44 @@ class TestWrappedBatchExactness:
         np.testing.assert_allclose(loss_wrapped, loss_small, rtol=1e-5)
 
 
+class TestWrappedBatchBNExactness:
+    @pytest.mark.slow
+    def test_train_mode_bn_stats_and_loss_identical_full_vs_wrapped(self):
+        """Train-mode forward (BatchNorm batch statistics) on a wrap-padded
+        batch with `valid` == the same forward on the ragged batch: the SAF
+        BatchNorm stats are valid-weighted, so the last remaining
+        wrapped-batch deviation (old docs/PARITY.md item 3) is closed."""
+        cfg = tiny_test_config(batch_size=8)
+        model = D2RClassifier(cfg)
+        full = _tiny_batch(cfg, seed=4)
+        r = 5
+        small = {k: np.asarray(v)[:r] for k, v in full.items()}
+        small["valid"] = np.ones(r, bool)
+        wrapped = {k: np.concatenate([np.asarray(v)[:r], np.asarray(v)[:8 - r]])
+                   for k, v in full.items()}
+        wrapped["valid"] = np.array([True] * r + [False] * (8 - r))
+
+        from d2r_tpu.train.state import _model_inputs
+        variables = model.init(jax.random.key(0), **_model_inputs(wrapped))
+
+        def train_forward(batch):
+            (loss, logits, _), mutated = model.apply(
+                variables, **_model_inputs(batch), deterministic=True,
+                use_running_average=False, mutable=["batch_stats"])
+            return loss, logits, mutated["batch_stats"]
+
+        loss_w, logits_w, bs_w = train_forward(wrapped)
+        loss_s, logits_s, bs_s = train_forward(small)
+
+        np.testing.assert_allclose(float(loss_w), float(loss_s), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(logits_w)[:r],
+                                   np.asarray(logits_s), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(bs_w),
+                        jax.tree_util.tree_leaves(bs_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
 class TestMultichip:
     def test_dryrun_8_devices(self, eight_devices):
         import __graft_entry__
