@@ -6,7 +6,7 @@ this package is a ground-up TPU-first design — see SURVEY.md for the layer
 map and docs/PARITY.md for intentional deviations.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 from d2r_tpu.config import (  # noqa: F401
     D2RConfig,

@@ -31,6 +31,27 @@ from d2r_tpu.data.image import load_image
 from d2r_tpu.data.tokenizer import load_tokenizer
 
 
+def encode_text(tokenizer, text: str, max_seq: int):
+    """Tokenize exactly like training: truncate to max_seq-2, wrap in
+    [CLS]/[SEP], zero-pad (ref: processor/dataset.py:64-85). Returns
+    (input_ids, attention_mask, token_type_ids) int32 arrays of length
+    ``max_seq``. Shared by MSDDataset and the serving preprocessor so
+    train/serve tokenisation can never skew."""
+    tokens = tokenizer.tokenize(text)
+    if len(tokens) > max_seq - 2:
+        tokens = tokens[: max_seq - 2]
+    ids = ([tokenizer.cls_token_id]
+           + tokenizer.convert_tokens_to_ids(tokens)
+           + [tokenizer.sep_token_id])
+    n = len(ids)
+    input_ids = np.zeros(max_seq, np.int32)
+    input_ids[:n] = ids
+    attention_mask = np.zeros(max_seq, np.int32)
+    attention_mask[:n] = 1
+    token_type_ids = np.zeros(max_seq, np.int32)
+    return input_ids, attention_mask, token_type_ids
+
+
 class MSDProcessor:
     """Split-file loader + tokenizer owner (ref: processor/dataset.py:17-47)."""
 
@@ -94,18 +115,8 @@ class MSDDataset:
         label = self.data["labels"][idx]
         img = self.data["imgs"][idx]
 
-        tokens = self.tokenizer.tokenize(text)
-        if len(tokens) > self.max_seq - 2:
-            tokens = tokens[: self.max_seq - 2]
-        ids = ([self.tokenizer.cls_token_id]
-               + self.tokenizer.convert_tokens_to_ids(tokens)
-               + [self.tokenizer.sep_token_id])
-        n = len(ids)
-        input_ids = np.zeros(self.max_seq, np.int32)
-        input_ids[:n] = ids
-        attention_mask = np.zeros(self.max_seq, np.int32)
-        attention_mask[:n] = 1
-        token_type_ids = np.zeros(self.max_seq, np.int32)
+        input_ids, attention_mask, token_type_ids = encode_text(
+            self.tokenizer, text, self.max_seq)
 
         raw_u8 = self.pixel_transfer == "uint8"
         if self.img_path is not None:
@@ -114,19 +125,11 @@ class MSDDataset:
                 image_size=self.image_size,
                 fallback_path=self.fallback,
                 raw_uint8=raw_u8)
-        elif raw_u8:
-            # Text-only runs (img_path=None): float32 zeros are
-            # ALREADY-NORMALISED zeros, so the raw-uint8 placeholder must be
-            # the CLIP per-channel mean pixel — device normalisation maps it
-            # back to ~0 (within 1 quantisation LSB), preserving the
-            # documented float32/uint8 equivalence.
-            from d2r_tpu.data.image import CLIP_MEAN
-            pixel_values = np.broadcast_to(
-                np.rint(CLIP_MEAN * 255.0).astype(np.uint8)[:, None, None],
-                (3, self.image_size, self.image_size)).copy()
         else:
-            pixel_values = np.zeros((3, self.image_size, self.image_size),
-                                    np.float32)
+            # Text-only runs (img_path=None): see placeholder_pixels for why
+            # the uint8 placeholder is the CLIP mean pixel, not raw zeros.
+            from d2r_tpu.data.image import placeholder_pixels
+            pixel_values = placeholder_pixels(self.image_size, raw_u8)
 
         item = {
             "input_ids": input_ids,

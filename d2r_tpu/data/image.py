@@ -48,6 +48,20 @@ def preprocess_pil(image, image_size: int = 224,
     return arr.transpose(2, 0, 1)  # channel-first like the reference
 
 
+def placeholder_pixels(image_size: int = 224,
+                       raw_uint8: bool = False) -> np.ndarray:
+    """Pixels for TEXT-ONLY samples (no image available, not a decode
+    failure): float32 zeros are already-normalised zeros; the raw-uint8
+    equivalent is the CLIP per-channel mean pixel, which device
+    normalisation maps back to ~0 within one quantisation LSB — preserving
+    the float32/uint8 pixel_transfer equivalence."""
+    if raw_uint8:
+        return np.broadcast_to(
+            np.rint(CLIP_MEAN * 255.0).astype(np.uint8)[:, None, None],
+            (3, image_size, image_size)).copy()
+    return np.zeros((3, image_size, image_size), np.float32)
+
+
 def gray_fallback(image_size: int = 224,
                   raw_uint8: bool = False) -> np.ndarray:
     """Synthetic mid-grey frame used when even the fallback file is absent."""
@@ -56,6 +70,34 @@ def gray_fallback(image_size: int = 224,
     arr = np.full((image_size, image_size, 3), 0.5, dtype=np.float32)
     arr = (arr - CLIP_MEAN) / CLIP_STD
     return arr.transpose(2, 0, 1)
+
+
+def decode_image_bytes(
+    data: bytes,
+    image_size: int = 224,
+    fallback_path: Optional[str] = None,
+    raw_uint8: bool = False,
+) -> np.ndarray:
+    """Serving-path twin of ``load_image``: decode + preprocess an in-memory
+    request payload with the same bare-except fallback chain (corrupt bytes
+    -> fallback image -> grey frame), so a bad upload degrades exactly like
+    a corrupt file on disk does in training (ref: processor/dataset.py:94-97).
+    """
+    import io
+
+    try:
+        from PIL import Image
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        return preprocess_pil(img, image_size, raw_uint8=raw_uint8)
+    except Exception:
+        pass
+    if fallback_path is not None and os.path.exists(fallback_path):
+        try:
+            return preprocess_pil(_load_pil(fallback_path), image_size,
+                                  raw_uint8=raw_uint8)
+        except Exception:
+            pass
+    return gray_fallback(image_size, raw_uint8=raw_uint8)
 
 
 def load_image(

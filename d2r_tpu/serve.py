@@ -40,18 +40,22 @@ class Predictor:
         self.variables = variables
         self.model = D2RClassifier(cfg)
         self.batch_buckets = sorted(batch_buckets)
-        self.seq_buckets = sorted(seq_buckets or [cfg.max_seq])
-        if len(self.seq_buckets) != 1:
+        seq_buckets = sorted(seq_buckets or [cfg.max_seq])
+        if len(seq_buckets) != 1:
             # The Router mean-pools over PADDED tokens (reference quirk,
             # docs/PARITY.md / models/router.py), so the same request padded
             # to different seq lengths yields different logits. Multiple seq
             # buckets would silently serve bucket-dependent predictions;
             # batch bucketing is the safe axis (rows are independent).
             raise ValueError(
-                f"multiple seq_buckets {self.seq_buckets} are unsafe: the "
+                f"multiple seq_buckets {seq_buckets} are unsafe: the "
                 "router's pad-pooling makes logits depend on the padded "
                 "sequence length, so bucket choice would change predictions. "
                 "Use exactly one seq bucket (default: cfg.max_seq).")
+        # Single scalar, not a list: the one-seq-length invariant is
+        # structural — re-enabling multi-seq bucketing requires revisiting
+        # the pad-pooling quirk, not just relaxing the guard above.
+        self.seq_len = seq_buckets[0]
         self._fns: Dict[Tuple[int, int], callable] = {}
 
     def _fn(self, b: int, l: int):
@@ -96,11 +100,11 @@ class Predictor:
         bucket are rejected (truncation would silently change predictions).
         """
         n, l = input_ids.shape
-        if l > self.seq_buckets[-1]:
+        if l > self.seq_len:
             raise ValueError(
-                f"sequence length {l} exceeds the largest configured seq "
-                f"bucket {self.seq_buckets[-1]}; tokenize/truncate to "
-                f"max_seq before calling predict")
+                f"sequence length {l} exceeds the configured seq bucket "
+                f"{self.seq_len}; tokenize/truncate to max_seq before "
+                f"calling predict")
         max_b = self.batch_buckets[-1]
         if n > max_b:
             outs = [
@@ -112,7 +116,7 @@ class Predictor:
             ]
             return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
         b = self._bucket(self.batch_buckets, n)
-        lb = self._bucket(self.seq_buckets, l)
+        lb = self.seq_len
 
         def pad(x, rows, cols=None):
             widths = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
@@ -130,19 +134,24 @@ class Predictor:
         probs = np.asarray(probs)[:n]
         return {"label": probs.argmax(-1), "probs": probs}
 
-    def warmup(self) -> None:
-        """Compile every bucket ahead of serving."""
+    def warmup(self, pixel_dtype=jnp.float32) -> None:
+        """Compile every bucket ahead of serving.
+
+        ``pixel_dtype`` must match the dtype requests will carry
+        (jnp.uint8 for pixel_transfer='uint8' clients) — jit retraces per
+        input dtype, so a mismatched warmup compiles the wrong program.
+        """
         vc = self.cfg.vision_config()
+        l = self.seq_len
         for b in self.batch_buckets:
-            for l in self.seq_buckets:
-                self._fn(b, l)(
-                    self.variables,
-                    jnp.zeros((b, l), jnp.int32),
-                    jnp.ones((b, l), jnp.int32),
-                    jnp.zeros((b, l), jnp.int32),
-                    jnp.zeros((b, vc.num_channels, vc.image_size,
-                               vc.image_size), jnp.float32),
-                )
+            self._fn(b, l)(
+                self.variables,
+                jnp.zeros((b, l), jnp.int32),
+                jnp.ones((b, l), jnp.int32),
+                jnp.zeros((b, l), jnp.int32),
+                jnp.zeros((b, vc.num_channels, vc.image_size,
+                           vc.image_size), pixel_dtype),
+            )
 
 
 def latency_stats(predictor: Predictor, batch: Dict[str, np.ndarray],
@@ -162,7 +171,7 @@ def latency_stats(predictor: Predictor, batch: Dict[str, np.ndarray],
         import jax.numpy as jnp
         n, l = batch["input_ids"].shape
         b = predictor._bucket(predictor.batch_buckets, n)
-        lb = predictor._bucket(predictor.seq_buckets, l)
+        lb = predictor.seq_len
         fn = predictor._fn(b, lb)
 
         def pad(x, rows, cols=None):

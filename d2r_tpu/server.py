@@ -1,0 +1,304 @@
+"""Production HTTP serving: raw (text, image-bytes) requests -> sentiment.
+
+The reference has no serving story at all (its closest analogue is the test
+loop, ref: modules/train.py:220-278). TPU-native serving design:
+
+  request threads ──> MicroBatcher (bounded queue, max_wait/max_batch)
+                              │ one flush = one padded bucket launch
+                      Predictor.predict (serve.py — jitted per bucket)
+                              │
+                      per-request futures resolved
+
+* preprocessing is EXACTLY the training pipeline's — ``encode_text``
+  (data/dataset.py) and the CLIP resize/normalise + corrupt-image fallback
+  chain (data/image.py) — so train/serve skew is impossible by construction;
+* micro-batching amortises the per-launch host->device roundtrip: requests
+  arriving within ``max_wait_ms`` of each other share one device launch
+  (a TPU launch at batch 8 costs barely more than at batch 1 —
+  docs/BENCHMARKS.md serving table), which is what turns a
+  one-request-per-launch latency server into a throughput server;
+* the HTTP layer is stdlib ``ThreadingHTTPServer`` — one OS thread per
+  connection blocks on its future; the single batcher thread owns all
+  device dispatch, so device access needs no locking.
+
+Endpoints:
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /predict            -> body {"text": str, "image_b64": optional str}
+                              -> {"label": int, "probs": [...]}
+"""
+
+from __future__ import annotations
+
+import base64
+import concurrent.futures as cf
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from d2r_tpu.data.dataset import encode_text
+from d2r_tpu.data.image import decode_image_bytes, placeholder_pixels
+
+
+class MicroBatcher:
+    """Groups concurrent ``submit`` calls into batched ``run_batch`` calls.
+
+    One daemon thread drains a queue: it blocks for the first request, then
+    gathers follow-ups until ``max_batch`` items are in hand or
+    ``max_wait_ms`` has elapsed since the first, then calls
+    ``run_batch(items) -> results`` once and resolves each item's future.
+    A failed flush fails only that flush's futures — the loop keeps serving.
+    """
+
+    def __init__(self, run_batch: Callable[[List], List],
+                 max_batch: int = 32, max_wait_ms: float = 5.0,
+                 max_queue: int = 1024):
+        assert max_batch >= 1
+        self._run = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="d2r-microbatcher")
+        self._thread.start()
+
+    def submit(self, item) -> "cf.Future":
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
+        fut: "cf.Future" = cf.Future()
+        self._q.put((item, fut))
+        return fut
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if first is None:  # shutdown sentinel
+                break
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._stop.set()
+                    break
+                batch.append(nxt)
+            items = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            try:
+                results = self._run(items)
+                assert len(results) == len(items)
+                for f, r in zip(futs, results):
+                    f.set_result(r)
+            except Exception as e:  # noqa: BLE001 — fail THIS flush only
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
+        self._thread.join(timeout=5.0)
+
+
+class InferenceService:
+    """Raw-request preprocessing + micro-batched Predictor dispatch."""
+
+    def __init__(
+        self,
+        predictor,                      # serve.Predictor
+        tokenizer,                      # data/tokenizer.py WordpieceTokenizer
+        raw_uint8: bool = True,         # pixel_transfer='uint8' request path
+        fallback_image: Optional[str] = None,
+        max_wait_ms: float = 5.0,
+        label_names: Optional[Sequence[str]] = None,
+    ):
+        self.predictor = predictor
+        self.tokenizer = tokenizer
+        self.raw_uint8 = raw_uint8
+        self.fallback_image = fallback_image
+        self.max_seq = predictor.seq_len
+        vc = predictor.cfg.vision_config()
+        self.image_size = vc.image_size
+        self.label_names = list(label_names) if label_names else None
+        self.batcher = MicroBatcher(
+            self._run_batch,
+            max_batch=predictor.batch_buckets[-1],
+            max_wait_ms=max_wait_ms)
+
+    # -- preprocessing (training-pipeline twins) -----------------------
+    def preprocess(self, text: str, image_bytes: Optional[bytes]
+                   ) -> Dict[str, np.ndarray]:
+        ids, mask, segs = encode_text(self.tokenizer, text, self.max_seq)
+        if image_bytes:
+            pixels = decode_image_bytes(
+                image_bytes, self.image_size,
+                fallback_path=self.fallback_image,
+                raw_uint8=self.raw_uint8)
+        else:
+            pixels = placeholder_pixels(self.image_size, self.raw_uint8)
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": segs, "pixel_values": pixels}
+
+    # -- batcher flush -> one device launch ----------------------------
+    def _run_batch(self, items: List[Dict[str, np.ndarray]]) -> List[Dict]:
+        stacked = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        out = self.predictor.predict(
+            stacked["input_ids"], stacked["attention_mask"],
+            stacked["token_type_ids"], stacked["pixel_values"])
+        results = []
+        for i in range(len(items)):
+            r = {"label": int(out["label"][i]),
+                 "probs": [float(p) for p in out["probs"][i]]}
+            if self.label_names:
+                r["label_name"] = self.label_names[r["label"]]
+            results.append(r)
+        return results
+
+    # -- public entry ---------------------------------------------------
+    def predict_one(self, text: str, image_bytes: Optional[bytes] = None,
+                    timeout: Optional[float] = 30.0) -> Dict:
+        item = self.preprocess(text, image_bytes)
+        return self.batcher.submit(item).result(timeout=timeout)
+
+    def close(self):
+        self.batcher.close()
+
+
+def _make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet: one access-log line per request at most
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _json(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "max_seq": service.max_seq,
+                    "batch_buckets": list(service.predictor.batch_buckets),
+                })
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req.get("text")
+                if not isinstance(text, str):
+                    self._json(400, {"error": "'text' (string) is required"})
+                    return
+                image_bytes = None
+                if req.get("image_b64"):
+                    image_bytes = base64.b64decode(req["image_b64"])
+                result = service.predict_one(text, image_bytes)
+                self._json(200, result)
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                self._json(500, {"error": repr(e)[:500]})
+
+    return Handler
+
+
+def make_server(service: InferenceService, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral); call .serve_forever() / .shutdown()."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+# ----------------------------------------------------------------------
+def main(argv=None):
+    """`d2r-serve`: load a trained checkpoint and serve HTTP predictions."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--load_path", required=True,
+                    help="Orbax checkpoint dir (e.g. .../best_model)")
+    ap.add_argument("--bert_name", default="bert-base-uncased")
+    ap.add_argument("--vit_name", default="openai/clip-vit-base-patch32")
+    ap.add_argument("--vocab_file", default=None,
+                    help="local vocab.txt path/dir (overrides --bert_name "
+                         "for tokenizer resolution)")
+    ap.add_argument("--max_seq", type=int, default=64)
+    ap.add_argument("--DR_step", type=int, default=4)
+    ap.add_argument("--num_classes", type=int, default=3)
+    ap.add_argument("--batch_buckets", default="1,8,32")
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--fallback_image", default=None)
+    ap.add_argument("--no_warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+
+    from d2r_tpu.config import D2RConfig
+    from d2r_tpu.data.tokenizer import load_tokenizer
+    from d2r_tpu.serve import Predictor
+    from d2r_tpu.train.checkpoint import restore_variables
+    from d2r_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = D2RConfig(bert_name=args.bert_name, vit_name=args.vit_name,
+                    max_seq=args.max_seq, DR_step=args.DR_step,
+                    num_classes=args.num_classes,
+                    compute_dtype=args.compute_dtype)
+    tokenizer = load_tokenizer(args.vocab_file or args.bert_name,
+                               vocab_size=cfg.text_config().vocab_size)
+    variables = restore_variables(args.load_path)
+    predictor = Predictor(
+        cfg, variables,
+        batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")))
+    if not args.no_warmup:
+        print("warming up (one compile per batch bucket)...", flush=True)
+        predictor.warmup(pixel_dtype=jnp.uint8)
+    service = InferenceService(predictor, tokenizer,
+                               fallback_image=args.fallback_image,
+                               max_wait_ms=args.max_wait_ms)
+    server = make_server(service, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(buckets {predictor.batch_buckets}, seq {predictor.seq_len})",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,21 @@ def save_checkpoint(path: str, state, include_opt_state: bool = False) -> None:
         ckptr.save(path, payload, force=True)
 
 
+def restore_variables(path: str) -> Dict[str, Any]:
+    """Restore a checkpoint as a raw ``{"params", "batch_stats"}`` variables
+    dict for inference — no TrainState/optimizer template needed, so serving
+    can load any checkpoint (with or without saved opt_state)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(_abs(path))
+    missing = {"params", "batch_stats"} - set(restored)
+    if missing:
+        raise ValueError(
+            f"checkpoint at {path} lacks {sorted(missing)}; found "
+            f"{sorted(restored)} — not a d2r_tpu model checkpoint")
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}
+
+
 def restore_checkpoint(path: str, state):
     """Restore params/batch_stats (and opt_state if present) into ``state``."""
     path = _abs(path)

@@ -154,7 +154,7 @@ class Trainer(BaseTrainer):
 
         # --profile_dir: capture a device trace of the SECOND dispatch (the
         # first one includes compilation) into cfg.profile_dir.
-        profile_state = {"count": 0, "active": False}
+        profile_state = {"count": 0, "active": False, "wrote": False}
 
         def maybe_trace_dispatch(after: bool):
             if not cfg.profile_dir:
@@ -170,6 +170,7 @@ class Trainer(BaseTrainer):
                     _ = np.asarray(jnp.atleast_1d(window_losses[-1]))
                     jax.profiler.stop_trace()
                     profile_state["active"] = False
+                    profile_state["wrote"] = True
                     self.logger.info("Wrote profile trace to %s",
                                      cfg.profile_dir)
 
@@ -219,6 +220,17 @@ class Trainer(BaseTrainer):
             elapsed = time.time() - t_start
             self.logger.info("training throughput: %.2f samples/sec",
                              seen / max(elapsed, 1e-9))
+
+            if cfg.profile_dir and not profile_state["wrote"]:
+                # The trace targets the SECOND dispatch (the first includes
+                # compilation); with a single dispatch there is nothing to
+                # capture — say so instead of leaving an empty directory.
+                self.logger.warning(
+                    "--profile_dir %s: no trace captured — training ran only "
+                    "%d dispatch(es) and the profiler skips the first "
+                    "(compile-polluted) one. Lower steps_per_dispatch or add "
+                    "data so at least two dispatches run.",
+                    cfg.profile_dir, profile_state["count"])
 
             # best-checkpoint test pass (ref: modules/train.py:145-146)
             result = {}

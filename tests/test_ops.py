@@ -52,7 +52,10 @@ class TestAttention:
         q = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
         k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
         v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
-        mask = jnp.asarray(rng.integers(0, 2, size=(b, s)) | 1)  # keep row 0
+        mask = np.asarray(rng.integers(0, 2, size=(b, s)))
+        mask[:, 0] = 1  # keep each row's first key so no row is fully masked
+        assert mask.min() == 0, "mask must exercise real padding columns"
+        mask = jnp.asarray(mask)
         bias = padding_key_bias(mask)
         baseline = dot_product_attention(q, k, v, key_bias=bias,
                                          use_pallas=False)

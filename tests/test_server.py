@@ -1,0 +1,250 @@
+"""HTTP serving stack: MicroBatcher semantics, request preprocessing
+(train/serve skew guards), and an end-to-end HTTP round trip."""
+
+import base64
+import concurrent.futures as cf
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from d2r_tpu.server import InferenceService, MicroBatcher, make_server
+
+
+# ---------------------------------------------------------------- batcher
+class TestMicroBatcher:
+    def test_concurrent_submits_coalesce_into_one_flush(self):
+        calls = []
+
+        def run(items):
+            calls.append(len(items))
+            return [i * 10 for i in items]
+
+        mb = MicroBatcher(run, max_batch=8, max_wait_ms=200.0)
+        try:
+            with cf.ThreadPoolExecutor(4) as pool:
+                futs = list(pool.map(lambda i: mb.submit(i), range(4)))
+            results = [f.result(timeout=5) for f in futs]
+        finally:
+            mb.close()
+        assert results == [0, 10, 20, 30]       # routed to the right caller
+        assert sum(calls) == 4
+        assert len(calls) <= 2                  # coalesced, not 4 launches
+
+    def test_max_batch_splits_flushes(self):
+        calls = []
+
+        def run(items):
+            calls.append(len(items))
+            return items
+
+        mb = MicroBatcher(run, max_batch=2, max_wait_ms=50.0)
+        try:
+            futs = [mb.submit(i) for i in range(5)]
+            assert [f.result(timeout=5) for f in futs] == list(range(5))
+        finally:
+            mb.close()
+        assert max(calls) <= 2 and sum(calls) == 5
+
+    def test_flush_error_fails_only_that_flush(self):
+        state = {"fail": True}
+
+        def run(items):
+            if state["fail"]:
+                state["fail"] = False
+                raise RuntimeError("boom")
+            return items
+
+        mb = MicroBatcher(run, max_batch=4, max_wait_ms=10.0)
+        try:
+            bad = mb.submit("a")
+            with pytest.raises(RuntimeError, match="boom"):
+                bad.result(timeout=5)
+            good = mb.submit("b")              # the loop must keep serving
+            assert good.result(timeout=5) == "b"
+        finally:
+            mb.close()
+
+    def test_submit_after_close_raises(self):
+        mb = MicroBatcher(lambda items: items, max_batch=2, max_wait_ms=1.0)
+        mb.close()
+        with pytest.raises(RuntimeError):
+            mb.submit(1)
+
+
+# ------------------------------------------------------- preprocessing
+class _FakePredictor:
+    """Just enough Predictor surface for InferenceService."""
+
+    def __init__(self, cfg, batch_buckets=(4,)):
+        self.cfg = cfg
+        self.seq_len = cfg.max_seq
+        self.batch_buckets = sorted(batch_buckets)
+
+    def predict(self, input_ids, attention_mask, token_type_ids,
+                pixel_values):
+        n = input_ids.shape[0]
+        probs = np.full((n, self.cfg.num_classes),
+                        1.0 / self.cfg.num_classes, np.float32)
+        return {"label": probs.argmax(-1), "probs": probs}
+
+
+def _tiny_service(raw_uint8=True, **kw):
+    from d2r_tpu.config import tiny_test_config
+    from d2r_tpu.data.tokenizer import load_tokenizer
+
+    cfg = tiny_test_config()
+    tok = load_tokenizer("nonexistent-tiny",
+                         vocab_size=cfg.text_config().vocab_size)
+    return InferenceService(_FakePredictor(cfg), tok,
+                            raw_uint8=raw_uint8, **kw), cfg
+
+
+class TestPreprocess:
+    def test_text_only_placeholder_matches_training_pipeline(self):
+        from d2r_tpu.data.image import placeholder_pixels
+
+        svc, cfg = _tiny_service(raw_uint8=True)
+        try:
+            item = svc.preprocess("a happy day", None)
+            np.testing.assert_array_equal(
+                item["pixel_values"],
+                placeholder_pixels(svc.image_size, raw_uint8=True))
+            assert item["input_ids"].shape == (cfg.max_seq,)
+            assert item["attention_mask"][0] == 1
+        finally:
+            svc.close()
+
+    def test_corrupt_image_bytes_fall_back_to_grey(self):
+        from d2r_tpu.data.image import gray_fallback
+
+        svc, _ = _tiny_service(raw_uint8=True)
+        try:
+            item = svc.preprocess("text", b"definitely not an image")
+            np.testing.assert_array_equal(
+                item["pixel_values"],
+                gray_fallback(svc.image_size, raw_uint8=True))
+        finally:
+            svc.close()
+
+    def test_valid_image_bytes_match_pil_preprocessing(self):
+        PIL = pytest.importorskip("PIL")
+        from PIL import Image
+        from d2r_tpu.data.image import preprocess_pil
+
+        svc, _ = _tiny_service(raw_uint8=False)
+        try:
+            rng = np.random.default_rng(0)
+            arr = rng.integers(0, 256, size=(40, 52, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")  # lossless
+            item = svc.preprocess("text", buf.getvalue())
+            expect = preprocess_pil(Image.fromarray(arr), svc.image_size,
+                                    raw_uint8=False)
+            np.testing.assert_allclose(item["pixel_values"], expect,
+                                       atol=1e-6)
+        finally:
+            svc.close()
+
+
+# ----------------------------------------------------------- HTTP e2e
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestHTTPEndToEnd:
+    @pytest.fixture(scope="class")
+    def server(self):
+        """Tiny REAL model behind the full HTTP stack, ephemeral port."""
+        import jax
+        import jax.numpy as jnp
+        from d2r_tpu.config import tiny_test_config
+        from d2r_tpu.data.dataset import synthetic_batch
+        from d2r_tpu.data.tokenizer import load_tokenizer
+        from d2r_tpu.models.unimo import D2RClassifier
+        from d2r_tpu.serve import Predictor
+
+        cfg = tiny_test_config()
+        model = D2RClassifier(cfg)
+        vc = cfg.vision_config()
+        batch = synthetic_batch(2, cfg.max_seq, vc.image_size,
+                                vocab_size=cfg.text_config().vocab_size)
+        variables = jax.jit(model.init)(
+            jax.random.key(0),
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["token_type_ids"]),
+            jnp.asarray(batch["labels"]),
+            jnp.asarray(batch["pixel_values"]))
+        pred = Predictor(cfg, variables, batch_buckets=(2,),
+                         seq_buckets=(cfg.max_seq,))
+        # compile ahead of serving so no request future waits on a compile
+        # (requests carry uint8 pixels -> warm the uint8 program)
+        pred.warmup(pixel_dtype=jnp.uint8)
+        tok = load_tokenizer("nonexistent-tiny",
+                             vocab_size=cfg.text_config().vocab_size)
+        svc = InferenceService(pred, tok, raw_uint8=True, max_wait_ms=20.0,
+                               label_names=("neutral", "positive", "negative"))
+        httpd = make_server(svc, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        yield url, cfg
+        httpd.shutdown()
+        svc.close()
+
+    def test_healthz(self, server):
+        url, cfg = server
+        with urllib.request.urlopen(url + "/healthz", timeout=10) as r:
+            body = json.loads(r.read())
+        assert r.status == 200 and body["status"] == "ok"
+        assert body["max_seq"] == cfg.max_seq
+
+    def test_predict_text_and_image(self, server):
+        PIL = pytest.importorskip("PIL")
+        from PIL import Image
+
+        url, cfg = server
+        rng = np.random.default_rng(1)
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 256, size=(32, 32, 3)
+                                     ).astype(np.uint8)).save(buf, "JPEG")
+        status, body = _post(url + "/predict", {
+            "text": "what a great sunny day",
+            "image_b64": base64.b64encode(buf.getvalue()).decode()})
+        assert status == 200, body
+        assert 0 <= body["label"] < cfg.num_classes
+        assert body["label_name"] in ("neutral", "positive", "negative")
+        np.testing.assert_allclose(sum(body["probs"]), 1.0, rtol=1e-4)
+
+    def test_predict_text_only_and_bad_request(self, server):
+        url, cfg = server
+        status, body = _post(url + "/predict", {"text": "no image here"})
+        assert status == 200 and len(body["probs"]) == cfg.num_classes
+        status, body = _post(url + "/predict", {"not_text": 1})
+        assert status == 400 and "text" in body["error"]
+
+    def test_concurrent_requests_share_launches(self, server):
+        """Four parallel requests through the real stack all succeed and
+        agree with a direct sequential call (padding rows can't leak)."""
+        url, cfg = server
+        payload = {"text": "identical request"}
+        with cf.ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(
+                lambda _: _post(url + "/predict", payload), range(4)))
+        assert all(s == 200 for s, _ in outs)
+        probs = np.array([o["probs"] for _, o in outs])
+        np.testing.assert_allclose(
+            probs, np.broadcast_to(probs[0], probs.shape), atol=2e-5)

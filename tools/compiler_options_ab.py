@@ -117,7 +117,12 @@ def main():
         sets = {"custom": dict(kv.split("=", 1)
                                for kv in args.options.split(","))}
     else:
-        sets = {name: OPTION_SETS[name] for name in args.sets.split(",")}
+        names = [n for n in args.sets.split(",") if n]
+        unknown = [n for n in names if n not in OPTION_SETS]
+        if unknown:  # fail before any multi-minute compile, with the menu
+            ap.error(f"unknown option set(s) {unknown}; "
+                     f"known: {sorted(OPTION_SETS)}")
+        sets = {name: OPTION_SETS[name] for name in names}
 
     for name, opts in sets.items():
         print(f"=== {name}: {opts}", file=sys.stderr, flush=True)
