@@ -277,6 +277,33 @@ class D2RConfig:
         return dataclasses.replace(self, **kw)
 
 
+def save_config_json(cfg: D2RConfig, path: str) -> None:
+    """Write ``cfg`` as JSON so checkpoints are self-describing: serving and
+    resume can rebuild the exact model geometry (embed_size, DR_step, tower
+    presets, ...) without the user re-typing training flags. The reference
+    has no equivalent — its checkpoints are bare state_dicts that silently
+    mis-load under a wrong argparse geometry."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+
+
+def load_config_json(path: str) -> D2RConfig:
+    """Inverse of :func:`save_config_json`. Unknown keys (written by a newer
+    version) are dropped; tuple-typed fields are coerced back from lists."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    known = {f.name for f in dataclasses.fields(D2RConfig)}
+    d = {k: v for k, v in d.items() if k in known}
+    for t in ("mesh_shape", "mesh_axis_names"):
+        if isinstance(d.get(t), list):
+            d[t] = tuple(d[t])
+    return D2RConfig(**d)
+
+
 def tiny_test_config(**overrides) -> D2RConfig:
     """A miniature config for CPU unit tests: 2-layer towers, dim 64."""
     defaults = dict(

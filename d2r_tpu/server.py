@@ -234,6 +234,55 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
 
 
 # ----------------------------------------------------------------------
+_SERVE_DEFAULTS = dict(bert_name="bert-base-uncased",
+                       vit_name="openai/clip-vit-base-patch32",
+                       max_seq=64, DR_step=4, num_classes=3,
+                       compute_dtype="bfloat16")
+
+
+def resolve_serve_config(load_path: str, config_json: Optional[str] = None,
+                         **overrides):
+    """Build the serving D2RConfig for a checkpoint.
+
+    Geometry resolution, highest priority first: explicitly-passed CLI
+    overrides (non-None kwargs) > the checkpoint's training-time
+    ``config.json`` (looked for inside ``load_path``, then one directory up
+    — the trainer writes it at ``save_path/config.json`` beside
+    ``best_model``) > the flagship serving defaults. Training a model with
+    non-default geometry (``--embed_size 64`` etc.) therefore serves with
+    zero extra flags, and a wrong-geometry restore can't happen silently.
+    """
+    import os
+
+    from d2r_tpu.config import D2RConfig, load_config_json
+
+    if config_json is not None:
+        if not os.path.exists(config_json):
+            raise FileNotFoundError(f"--config_json {config_json} not found")
+        candidates = [config_json]
+    else:
+        root = os.path.abspath(load_path).rstrip("/")
+        candidates = [os.path.join(root, "config.json"),
+                      os.path.join(os.path.dirname(root), "config.json")]
+    loaded = None
+    for cand in candidates:
+        if os.path.exists(cand):
+            loaded = load_config_json(cand)
+            print(f"model geometry from {cand}", flush=True)
+            break
+
+    base = loaded if loaded is not None else D2RConfig()
+    fields = {}
+    for name, default in _SERVE_DEFAULTS.items():
+        if overrides.get(name) is not None:
+            fields[name] = overrides[name]
+        elif loaded is None:
+            fields[name] = default
+    unknown = set(overrides) - set(_SERVE_DEFAULTS)
+    assert not unknown, f"unexpected serve overrides: {sorted(unknown)}"
+    return base.replace(**fields)
+
+
 def main(argv=None):
     """`d2r-serve`: load a trained checkpoint and serve HTTP predictions."""
     import argparse
@@ -241,20 +290,26 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--load_path", required=True,
                     help="Orbax checkpoint dir (e.g. .../best_model)")
-    ap.add_argument("--bert_name", default="bert-base-uncased")
-    ap.add_argument("--vit_name", default="openai/clip-vit-base-patch32")
+    ap.add_argument("--config_json", default=None,
+                    help="config.json written at training time (default: "
+                         "auto-discover inside/next to --load_path). Flags "
+                         "below override individual fields; without any "
+                         "config.json the remaining geometry is the "
+                         "flagship default")
+    ap.add_argument("--bert_name", default=None)
+    ap.add_argument("--vit_name", default=None)
     ap.add_argument("--vocab_file", default=None,
                     help="local vocab.txt path/dir (overrides --bert_name "
                          "for tokenizer resolution)")
-    ap.add_argument("--max_seq", type=int, default=64)
-    ap.add_argument("--DR_step", type=int, default=4)
-    ap.add_argument("--num_classes", type=int, default=3)
+    ap.add_argument("--max_seq", type=int, default=None)
+    ap.add_argument("--DR_step", type=int, default=None)
+    ap.add_argument("--num_classes", type=int, default=None)
     ap.add_argument("--batch_buckets", default="1,8,32")
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
-    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--compute_dtype", default=None)
     ap.add_argument("--fallback_image", default=None)
     ap.add_argument("--no_warmup", action="store_true")
     args = ap.parse_args(argv)
@@ -264,18 +319,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
 
-    from d2r_tpu.config import D2RConfig
     from d2r_tpu.data.tokenizer import load_tokenizer
     from d2r_tpu.serve import Predictor
     from d2r_tpu.train.checkpoint import restore_variables
     from d2r_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = D2RConfig(bert_name=args.bert_name, vit_name=args.vit_name,
-                    max_seq=args.max_seq, DR_step=args.DR_step,
-                    num_classes=args.num_classes,
-                    compute_dtype=args.compute_dtype)
-    tokenizer = load_tokenizer(args.vocab_file or args.bert_name,
+    cfg = resolve_serve_config(
+        args.load_path, config_json=args.config_json,
+        bert_name=args.bert_name, vit_name=args.vit_name,
+        max_seq=args.max_seq, DR_step=args.DR_step,
+        num_classes=args.num_classes, compute_dtype=args.compute_dtype)
+    tokenizer = load_tokenizer(args.vocab_file or cfg.bert_name,
                                vocab_size=cfg.text_config().vocab_size)
     variables = restore_variables(args.load_path)
     predictor = Predictor(

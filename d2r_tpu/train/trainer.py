@@ -310,6 +310,11 @@ class Trainer(BaseTrainer):
                 save_checkpoint(os.path.join(self.cfg.save_path, "best_model"),
                                 self.state,
                                 include_opt_state=self.cfg.save_opt_state)
+                # Self-describing checkpoint: d2r-serve / resume read the
+                # model geometry from here instead of re-typed CLI flags.
+                from d2r_tpu.config import save_config_json
+                save_config_json(self.cfg, os.path.join(self.cfg.save_path,
+                                                        "config.json"))
                 self.logger.info("Save best model at %s", self.cfg.save_path)
         return result
 
