@@ -245,6 +245,10 @@ def main(argv=None) -> None:
         trainer.state = trainer.state.replace(params=pretrained)
 
     if cfg.only_test:
+        if cfg.load_path:
+            # geometry guard BEFORE the (multi-minute) init compile
+            from d2r_tpu.train.checkpoint import check_checkpoint_geometry
+            check_checkpoint_geometry(cfg.load_path, cfg)
         first = next(iter(test_loader))
         if trainer.state is None:
             trainer.init_state(first)

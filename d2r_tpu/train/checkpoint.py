@@ -50,6 +50,47 @@ def restore_variables(path: str) -> Dict[str, Any]:
             "batch_stats": restored["batch_stats"]}
 
 
+# D2RConfig fields that determine the parameter tree's shape/topology — a
+# mismatch between these and a checkpoint guarantees a wrong or failing
+# restore. max_seq/batch/lr/... are deliberately absent: they are free to
+# differ between training and reload.
+GEOMETRY_FIELDS = ("bert_name", "vit_name", "embed_size", "num_head_IMRC",
+                   "hid_IMRC", "hid_router", "num_cells", "path_hid",
+                   "num_classes", "DR_step", "use_sentic_graph")
+
+
+def check_checkpoint_geometry(load_path: str, cfg) -> Optional[str]:
+    """Cross-check ``cfg`` against the training-time ``config.json`` that
+    the trainer writes beside ``best_model`` (self-describing checkpoints).
+
+    Raises ``ValueError`` listing every differing :data:`GEOMETRY_FIELDS`
+    entry — Orbax would otherwise either fail deep inside restore or, for
+    same-shaped-but-different-meaning trees, silently load garbage. Returns
+    the config.json path used, or ``None`` when the checkpoint predates
+    config.json (old checkpoints stay loadable, unchecked).
+    """
+    from d2r_tpu.config import load_config_json
+
+    root = _abs(load_path).rstrip("/")
+    for cand in (os.path.join(root, "config.json"),
+                 os.path.join(os.path.dirname(root), "config.json")):
+        if not os.path.exists(cand):
+            continue
+        saved = load_config_json(cand)
+        diffs = [(f, getattr(saved, f), getattr(cfg, f))
+                 for f in GEOMETRY_FIELDS
+                 if getattr(saved, f) != getattr(cfg, f)]
+        if diffs:
+            lines = "; ".join(f"{f}: checkpoint={a!r} vs flags={b!r}"
+                              for f, a, b in diffs)
+            raise ValueError(
+                f"model geometry mismatch between {cand} and the current "
+                f"flags — {lines}. Pass the training-time values (or fix "
+                f"--load_path).")
+        return cand
+    return None
+
+
 def restore_checkpoint(path: str, state):
     """Restore params/batch_stats (and opt_state if present) into ``state``."""
     path = _abs(path)

@@ -116,6 +116,11 @@ class Trainer(BaseTrainer):
         self.logger.info("  Learning rate = %s", cfg.lr)
         self.logger.info("  Evaluate begin = %d", cfg.eval_begin_epoch)
 
+        if cfg.load_path is not None:
+            # geometry guard BEFORE the (multi-minute) init compile: a
+            # flags-vs-checkpoint mismatch must fail in milliseconds.
+            from d2r_tpu.train.checkpoint import check_checkpoint_geometry
+            check_checkpoint_geometry(cfg.load_path, cfg)
         first_batch = next(iter(self.train_data))
         if self.state is None:
             self.init_state(first_batch, params=pretrained_params)

@@ -92,6 +92,36 @@ class TestResolveServeConfig:
                 tmp_path / "nope.json"))
 
 
+class TestCheckpointGeometryGuard:
+    def test_matching_geometry_passes(self, tmp_path):
+        from d2r_tpu.train.checkpoint import check_checkpoint_geometry
+
+        cfg = tiny_test_config()
+        save_config_json(cfg, str(tmp_path / "config.json"))
+        used = check_checkpoint_geometry(str(tmp_path / "best_model"),
+                                         cfg.replace(lr=9e-9, max_seq=99))
+        assert used == str(tmp_path / "config.json")  # non-geometry may differ
+
+    def test_mismatch_raises_with_field_names(self, tmp_path):
+        import pytest
+
+        from d2r_tpu.train.checkpoint import check_checkpoint_geometry
+
+        cfg = tiny_test_config(embed_size=64, DR_step=3)
+        save_config_json(cfg, str(tmp_path / "config.json"))
+        with pytest.raises(ValueError) as ei:
+            check_checkpoint_geometry(
+                str(tmp_path / "best_model"),
+                cfg.replace(embed_size=128, DR_step=4))
+        assert "embed_size" in str(ei.value) and "DR_step" in str(ei.value)
+
+    def test_legacy_checkpoint_without_config_json_is_unchecked(self, tmp_path):
+        from d2r_tpu.train.checkpoint import check_checkpoint_geometry
+
+        assert check_checkpoint_geometry(str(tmp_path / "best_model"),
+                                         tiny_test_config()) is None
+
+
 def test_trainer_save_site_writes_config_json(tmp_path, monkeypatch):
     """The best-model save path emits config.json (wired in
     trainer.evaluate); exercised cheaply by reusing the saved-state helper
