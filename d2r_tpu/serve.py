@@ -35,8 +35,20 @@ class Predictor:
         variables: Dict,
         batch_buckets: Sequence[int] = (1, 8, 32),
         seq_buckets: Optional[Sequence[int]] = None,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving (BASELINE config 5: v5e-8 + serving path):
+            # params take their training-time placements — TP rules fire on
+            # a 'model' axis, everything else replicates — and request rows
+            # shard over 'data'. The jitted forward is unchanged: GSPMD
+            # partitions it from the input/param shardings alone.
+            from d2r_tpu.parallel.mesh import make_param_shardings
+            shardings = make_param_shardings(variables, mesh)
+            variables = jax.tree_util.tree_map(jax.device_put, variables,
+                                               shardings)
         self.variables = variables
         self.model = D2RClassifier(cfg)
         self.batch_buckets = sorted(batch_buckets)
@@ -86,6 +98,18 @@ class Predictor:
         i = bisect.bisect_left(buckets, n)
         return buckets[min(i, len(buckets) - 1)]
 
+    def _place(self, x):
+        """Stage one padded input array: sharded over the mesh's data axis
+        when serving multi-chip (replicated if the bucket doesn't divide it),
+        plain device transfer otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from d2r_tpu.parallel.mesh import batch_sharding, replicated
+        n = self.mesh.shape.get("data", 1)
+        ok = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+        return jax.device_put(
+            x, batch_sharding(self.mesh) if ok else replicated(self.mesh))
+
     def predict(
         self,
         input_ids: np.ndarray,
@@ -126,10 +150,10 @@ class Predictor:
 
         probs = self._fn(b, lb)(
             self.variables,
-            jnp.asarray(pad(input_ids, b, lb)),
-            jnp.asarray(pad(attention_mask, b, lb)),
-            jnp.asarray(pad(token_type_ids, b, lb)),
-            jnp.asarray(pad(pixel_values, b)),
+            self._place(pad(input_ids, b, lb)),
+            self._place(pad(attention_mask, b, lb)),
+            self._place(pad(token_type_ids, b, lb)),
+            self._place(pad(pixel_values, b)),
         )
         probs = np.asarray(probs)[:n]
         return {"label": probs.argmax(-1), "probs": probs}
@@ -144,13 +168,16 @@ class Predictor:
         vc = self.cfg.vision_config()
         l = self.seq_len
         for b in self.batch_buckets:
+            # _place, not jnp.asarray: jit specializes on input SHARDINGS
+            # too, so a mesh-serving warmup must stage inputs exactly as
+            # predict() will or it compiles the wrong programs.
             self._fn(b, l)(
                 self.variables,
-                jnp.zeros((b, l), jnp.int32),
-                jnp.ones((b, l), jnp.int32),
-                jnp.zeros((b, l), jnp.int32),
-                jnp.zeros((b, vc.num_channels, vc.image_size,
-                           vc.image_size), pixel_dtype),
+                self._place(np.zeros((b, l), np.int32)),
+                self._place(np.ones((b, l), np.int32)),
+                self._place(np.zeros((b, l), np.int32)),
+                self._place(np.zeros((b, vc.num_channels, vc.image_size,
+                                      vc.image_size), pixel_dtype)),
             )
 
 

@@ -309,6 +309,12 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--dp", type=int, default=1,
+                    help="shard request batches over this many chips "
+                         "(data axis); 1 = single-device serving")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree for the tower params "
+                         "(model axis); composes with --dp on dp*tp chips")
     ap.add_argument("--compute_dtype", default=None)
     ap.add_argument("--fallback_image", default=None)
     ap.add_argument("--no_warmup", action="store_true")
@@ -333,8 +339,17 @@ def main(argv=None):
     tokenizer = load_tokenizer(args.vocab_file or cfg.bert_name,
                                vocab_size=cfg.text_config().vocab_size)
     variables = restore_variables(args.load_path)
+    mesh = None
+    if args.dp * args.tp > 1:
+        from d2r_tpu.parallel.mesh import make_mesh
+        if args.tp > 1:
+            mesh = make_mesh((args.dp, args.tp), ("data", "model"))
+        else:
+            mesh = make_mesh((args.dp,), ("data",))
+        print(f"multi-chip serving over mesh "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
     predictor = Predictor(
-        cfg, variables,
+        cfg, variables, mesh=mesh,
         batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")))
     if not args.no_warmup:
         print("warming up (one compile per batch bucket)...", flush=True)

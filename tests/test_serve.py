@@ -90,3 +90,48 @@ def test_jit_cache_reused_across_requests():
     pred.predict(batch["input_ids"][:2], batch["attention_mask"][:2],
                  batch["token_type_ids"][:2], batch["pixel_values"][:2])
     assert len(pred._fns) == 1  # same bucket -> same compiled fn
+
+
+def test_mesh_serving_matches_single_device():
+    """Multi-chip serving (BASELINE config 5): the same requests through a
+    4-way DP mesh and a 2x2 dp x tp mesh reproduce the plain single-device
+    probabilities; TP rules actually fire on the tower params."""
+    from jax.sharding import PartitionSpec as P
+
+    from d2r_tpu.parallel.mesh import make_mesh
+
+    cfg, variables, batch = _setup()
+    args = (batch["input_ids"], batch["attention_mask"],
+            batch["token_type_ids"], batch["pixel_values"])
+    want = Predictor(cfg, variables, batch_buckets=(4,)).predict(*args)
+
+    dp = Predictor(cfg, variables, batch_buckets=(4,),
+                   mesh=make_mesh((4,), ("data",)))
+    np.testing.assert_allclose(dp.predict(*args)["probs"], want["probs"],
+                               atol=1e-5)
+
+    tp = Predictor(cfg, variables, batch_buckets=(4,),
+                   mesh=make_mesh((2, 2), ("data", "model")))
+    np.testing.assert_allclose(tp.predict(*args)["probs"], want["probs"],
+                               atol=1e-5)
+    specs = {s.spec for s in jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, tp.variables))}
+    assert any(s != P() for s in specs), "no TP rule fired on the params"
+
+
+def test_mesh_warmup_compiles_the_serving_programs():
+    """Warmup must stage inputs with the same shardings predict() uses, or
+    it compiles programs the requests never hit (jit specializes on
+    shardings). Guard: after warmup, predict() reuses the cached fn."""
+    from d2r_tpu.parallel.mesh import make_mesh
+
+    cfg, variables, batch = _setup()
+    pred = Predictor(cfg, variables, batch_buckets=(4,),
+                     mesh=make_mesh((4,), ("data",)))
+    pred.warmup(pixel_dtype=batch["pixel_values"].dtype)
+    fn = pred._fn(4, pred.seq_len)
+    assert fn._cache_size() == 1
+    pred.predict(batch["input_ids"], batch["attention_mask"],
+                 batch["token_type_ids"], batch["pixel_values"])
+    assert fn._cache_size() == 1, \
+        "predict() retraced: warmup staged inputs with different shardings"
