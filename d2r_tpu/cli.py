@@ -94,6 +94,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="path to senticnet_word.txt (default: vendored asset)")
     p.add_argument("--steps_per_dispatch", default=16, type=int,
                    help="train steps fused into one device program (lax.scan)")
+    p.add_argument("--grad_accum_steps", default=1, type=int,
+                   help="average grads over K microbatches per optimizer "
+                        "step (effective batch K*batch_size at one "
+                        "microbatch's activation memory)")
     p.add_argument("--optimizer_impl", default="grouped",
                    choices=["grouped", "fused", "fused_leaf",
                             "multi_transform"])
@@ -173,6 +177,7 @@ def config_from_args(args) -> D2RConfig:
         mesh_shape=mesh_shape, mesh_axis_names=axis_names,
         debug_nans=args.debug_nans, profile_dir=args.profile_dir,
         steps_per_dispatch=args.steps_per_dispatch,
+        grad_accum_steps=args.grad_accum_steps,
         optimizer_impl=args.optimizer_impl,
         adam_mu_dtype=args.adam_mu_dtype,
         prng_impl=args.prng_impl,

@@ -210,6 +210,14 @@ class D2RConfig:
     # device->host loss fetch; 1 = one jitted step per batch. Identical math
     # either way (tests/test_train.py pins K-step == K x single-step).
     steps_per_dispatch: int = 16
+    # Gradient accumulation: each optimizer step averages grads over K
+    # sequential microbatches inside ONE jitted program (lax.scan with an
+    # on-the-fly grad sum, train/state.py make_accum_step) — effective batch
+    # K*batch_size at the activation memory of one microbatch. BatchNorm
+    # stats update per microbatch; dropout folds in the microbatch index.
+    # 1 = off. When >1 each dispatch is one optimizer step (steps_per_dispatch
+    # does not apply) and the LR schedule counts optimizer steps.
+    grad_accum_steps: int = 1
     # AdamW implementation (train/optimizer.py) — identical math, different
     # kernel shapes: 'grouped' = one scale_by_adam chain + per-leaf group lr
     # (default, fastest measured); 'fused' = one flat moment buffer per

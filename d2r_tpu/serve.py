@@ -36,9 +36,23 @@ class Predictor:
         batch_buckets: Sequence[int] = (1, 8, 32),
         seq_buckets: Optional[Sequence[int]] = None,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
+        self.quantize = quantize
+        if quantize:
+            # weight-only int8 (d2r_tpu/quant.py): 4x fewer weight bytes per
+            # request on the weight-HBM-bound small-batch path; dequant fuses
+            # into the consuming dots inside the jitted forward.
+            if mesh is not None:
+                raise NotImplementedError(
+                    "quantized multi-chip serving is not supported yet: "
+                    "param shardings are defined over dense trees")
+            from d2r_tpu.quant import quantize_params
+            variables = dict(variables,
+                             params=quantize_params(variables["params"],
+                                                    mode=quantize))
         if mesh is not None:
             # Multi-chip serving (BASELINE config 5: v5e-8 + serving path):
             # params take their training-time placements — TP rules fire on
@@ -75,6 +89,7 @@ class Predictor:
         if key not in self._fns:
             model = self.model
 
+            from d2r_tpu.quant import dequantize_params
             from d2r_tpu.train.state import _compute_cast
             compute_dtype = self.cfg.dtype
 
@@ -82,9 +97,9 @@ class Predictor:
             def fwd(variables, input_ids, attention_mask, token_type_ids,
                     pixel_values):
                 labels = jnp.zeros((input_ids.shape[0],), jnp.int32)
+                params = dequantize_params(variables["params"], compute_dtype)
                 variables = dict(
-                    variables,
-                    params=_compute_cast(variables["params"], compute_dtype))
+                    variables, params=_compute_cast(params, compute_dtype))
                 _, logits, _ = model.apply(
                     variables, input_ids, attention_mask, token_type_ids,
                     labels, pixel_values,

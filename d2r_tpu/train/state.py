@@ -157,6 +157,64 @@ def make_multi_step(model, num_steps: int):
     return multi_step
 
 
+def make_accum_step(model, accum_steps: int):
+    """ONE optimizer step from grads averaged over ``accum_steps`` sequential
+    microbatches (gradient accumulation), as a single jitted program.
+
+    Takes microbatches stacked on a leading (K, B, ...) axis. A lax.scan
+    computes per-microbatch grads with batch_stats carried through (train-mode
+    BatchNorm sees each microbatch exactly as K sequential steps would) and
+    sums grads on the fly — one live grad tree plus the running sum — then
+    applies a single AdamW update with the mean. Effective batch is
+    K*batch_size at the activation-memory footprint of ONE microbatch.
+    Per-microbatch dropout streams fold in (optimizer step, microbatch index).
+    Math pinned bit-exact vs an eager mean-of-grads oracle in
+    tests/test_grad_accum.py. No reference equivalent (the torch reference
+    steps the optimizer once per batch, ref: modules/train.py:117-128).
+    """
+    compute_dtype = model.cfg.dtype
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def accum_step(state: TrainState, stacked_microbatches, dropout_rng):
+        step_rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def micro_grads(batch_stats, batch, rng):
+            def loss_fn(params):
+                (loss, logits, aux), mutated = state.apply_fn(
+                    {"params": _compute_cast(params, compute_dtype),
+                     "batch_stats": batch_stats},
+                    **_model_inputs(batch),
+                    deterministic=False,
+                    use_running_average=False,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                return loss, mutated
+            (loss, mutated), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return mutated["batch_stats"], grads, loss
+
+        def body(carry, xs):
+            batch_stats, grad_sum, loss_sum = carry
+            batch, i = xs
+            batch_stats, grads, loss = micro_grads(
+                batch_stats, batch, jax.random.fold_in(step_rng, i))
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (batch_stats, grad_sum,
+                    loss_sum + loss.astype(jnp.float32)), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        carry = (state.batch_stats, zeros, jnp.zeros((), jnp.float32))
+        (batch_stats, grad_sum, loss_sum), _ = jax.lax.scan(
+            body, carry, (stacked_microbatches, jnp.arange(accum_steps)),
+            length=accum_steps)
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grad_sum)
+        state = state.apply_gradients(grads=grads, batch_stats=batch_stats)
+        return state, {"loss": loss_sum / accum_steps}
+
+    return accum_step
+
+
 def make_eval_step(model):
     """Deterministic forward returning (loss, logits); BatchNorm uses running
     stats (torch model.eval() semantics, ref: modules/train.py:162,170)."""

@@ -77,14 +77,19 @@ class Trainer(BaseTrainer):
         self.step = 0
         self.best_dev_metric = 0.0
         self.best_dev_epoch = None
+        self.grad_accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
         if train_data is not None:
-            self.train_num_steps = len(train_data) * cfg.num_epochs
+            steps_per_epoch = len(train_data)
+            if self.grad_accum > 1:  # LR schedule counts OPTIMIZER steps
+                steps_per_epoch = -(-steps_per_epoch // self.grad_accum)
+            self.train_num_steps = steps_per_epoch * cfg.num_epochs
         else:
             self.train_num_steps = 1
 
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
         self._train_step = make_train_step(model)
         self._multi_steps = {}  # K -> jitted K-step scan program
+        self._accum_steps = {}  # K -> jitted K-microbatch accumulation step
         self._eval_step = make_eval_step(model)
         self.state = None
 
@@ -186,6 +191,24 @@ class Trainer(BaseTrainer):
             k = len(buf)
             for b in buf:
                 seen += int(np.sum(np.asarray(b.get("valid", cfg.batch_size))))
+            if self.grad_accum > 1:
+                # one OPTIMIZER step from k microbatches (grad accumulation);
+                # a short final group gets its own cached k-sized program
+                if k not in self._accum_steps:
+                    from d2r_tpu.train.state import make_accum_step
+                    self._accum_steps[k] = make_accum_step(self.model, k)
+                stacked = {key: np.stack([b[key] for b in buf])
+                           for key in buf[0]}
+                stacked = shard_stacked_batch(stacked, self.mesh)
+                self.state, metrics = self._accum_steps[k](
+                    self.state, stacked, dropout_rng)
+                window_losses.append(metrics["loss"])
+                self.step += 1
+                window_steps += 1
+                maybe_trace_dispatch(after=True)
+                if self.step - last_log_step >= cfg.log_steps:
+                    flush_log(epoch)
+                return
             if k == 1:
                 batch = shard_batch(buf[0], self.mesh)
                 self.state, metrics = self._train_step(
@@ -206,7 +229,10 @@ class Trainer(BaseTrainer):
             if self.step - last_log_step >= cfg.log_steps:
                 flush_log(epoch)
 
-        steps_per_dispatch = max(int(cfg.steps_per_dispatch), 1)
+        # with accumulation each dispatch is one optimizer step over
+        # grad_accum microbatches; otherwise K independent steps per dispatch
+        steps_per_dispatch = (self.grad_accum if self.grad_accum > 1
+                              else max(int(cfg.steps_per_dispatch), 1))
         with self.mesh:
             for epoch in range(1, cfg.num_epochs + 1):
                 buf = []

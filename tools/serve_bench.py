@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--iters", default=20, type=int)
     ap.add_argument("--out", default="SERVE_BENCH.json",
                     help="driver-capturable JSON artifact path ('' disables)")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="weight-only int8 serving (d2r_tpu/quant.py)")
     ap.add_argument("--pixel", default="uint8",
                     choices=["uint8", "float32"],
                     help="client pixel format; uint8 = 4x fewer request "
@@ -55,7 +57,7 @@ def main():
         jnp.asarray(init_batch["pixel_values"]))
 
     pred = Predictor(cfg, variables, batch_buckets=buckets,
-                     seq_buckets=(args.max_seq,))
+                     seq_buckets=(args.max_seq,), quantize=args.quantize)
     pred.warmup()
 
     results = {}
@@ -84,6 +86,7 @@ def main():
         "iters": args.iters,
         "max_seq": args.max_seq,
         "pixel": args.pixel,
+        "quantize": args.quantize,
     }
     print(json.dumps(payload))
     if args.out:
