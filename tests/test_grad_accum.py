@@ -85,6 +85,53 @@ class TestAccumStep:
                                        rtol=1e-5, atol=1e-7)
 
 
+class TestAccumOnMesh:
+    @pytest.mark.slow
+    def test_accum_step_dp_mesh_matches_single_device(self, eight_devices):
+        """make_accum_step over a dp x tp mesh (stacked batch sharded over
+        'data' via shard_stacked_batch, params over 'model') must land on the
+        same parameters and loss as the replicated run — accumulation composes
+        with the training-time shardings the Trainer actually uses."""
+        from d2r_tpu.parallel.mesh import (
+            make_mesh,
+            make_param_shardings,
+            shard_stacked_batch,
+        )
+
+        K = 2
+        cfg = tiny_test_config(batch_size=8)
+        model = D2RClassifier(cfg)
+        batches = [_tiny_batch(cfg, seed=s) for s in range(K)]
+        stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+                   for k in batches[0]}
+        rng = jax.random.key(7)
+
+        def run(mesh_shape=None):
+            state = create_train_state(model, cfg, None, jax.random.key(0),
+                                       batches[0], total_steps=20)
+            step = make_accum_step(model, K)
+            if mesh_shape is None:
+                state, m = step(state, stacked, rng)
+                return state, float(m["loss"])
+            mesh = make_mesh(mesh_shape, ("data", "model"))
+            shardings = make_param_shardings(state.params, mesh)
+            params = jax.tree_util.tree_map(jax.device_put, state.params,
+                                            shardings)
+            state = state.replace(params=params)
+            with mesh:
+                state, m = step(state, shard_stacked_batch(stacked, mesh),
+                                rng)
+                return state, float(m["loss"])
+
+        s_rep, l_rep = run(None)
+        s_dp, l_dp = run((2, 2))
+        np.testing.assert_allclose(l_rep, l_dp, rtol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_rep.params),
+                        jax.tree_util.tree_leaves(s_dp.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+
 class TestTrainerAccum:
     def test_trainer_grad_accum_counts_optimizer_steps(self):
         """5 microbatches at grad_accum_steps=2 -> ceil(5/2)=3 optimizer
