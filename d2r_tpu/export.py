@@ -60,22 +60,30 @@ def export_predictor(
     pixel_dtype=jnp.uint8,
     platforms: Optional[Sequence[str]] = None,
     self_check: bool = True,
+    quantize: Optional[str] = None,
 ) -> Dict:
     """Serialize one Exported per batch bucket; returns the manifest dict.
 
     ``pixel_dtype`` must match what requests will carry (uint8 for the
     default ``pixel_transfer='uint8'`` clients). ``platforms=None`` lowers
-    for the current backend only.
+    for the current backend only. ``quantize='int8'`` bakes the weight-only
+    int8 serving path (d2r_tpu/quant.py) into the artifact: the exported
+    calling convention then takes the QUANTIZED parameter tree (int8 codes +
+    scales), and ``load_exported`` re-quantizes the paired checkpoint the
+    same way — recorded in the manifest so artifact and loader can't drift.
     """
     from jax import export as jexp
 
-    pred = Predictor(cfg, variables, batch_buckets=batch_buckets)
+    pred = Predictor(cfg, variables, batch_buckets=batch_buckets,
+                     quantize=quantize)
     vc = cfg.vision_config()
     seq = pred.seq_len
     pixel_dtype = jnp.dtype(pixel_dtype)
     os.makedirs(out_dir, exist_ok=True)
 
-    vars_spec = _variables_spec(variables)
+    # pred.variables, not variables: under quantize the artifact's calling
+    # convention is the quantized tree (QuantLeaf nodes of int8 q + scale)
+    vars_spec = _variables_spec(pred.variables)
     files = {}
     for b in pred.batch_buckets:
         specs = (
@@ -104,6 +112,7 @@ def export_predictor(
         "pixel_shape": [vc.num_channels, vc.image_size, vc.image_size],
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "jax_version": jax.__version__,
+        "quantize": quantize,
         "files": files,
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -146,7 +155,8 @@ class ExportedPredictor(Predictor):
                  artifact_dir: str):
         super().__init__(cfg, variables,
                          batch_buckets=manifest["batch_buckets"],
-                         seq_buckets=(manifest["seq_len"],))
+                         seq_buckets=(manifest["seq_len"],),
+                         quantize=manifest.get("quantize"))
         self.model = None  # the artifact replaces the traced model
         self.manifest = manifest
         self._dir = artifact_dir
@@ -207,6 +217,10 @@ def main(argv=None):
     ap.add_argument("--platforms", default=None,
                     help="comma list to cross-lower, e.g. 'cpu,tpu' "
                          "(default: current backend only)")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="bake weight-only int8 serving into the artifact "
+                         "(d2r_tpu/quant.py); the loader re-quantizes the "
+                         "paired checkpoint per the manifest")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args(argv)
 
@@ -225,10 +239,12 @@ def main(argv=None):
         batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")),
         pixel_dtype=jnp.uint8 if args.pixel == "uint8" else jnp.float32,
         platforms=(tuple(args.platforms.split(","))
-                   if args.platforms else None))
+                   if args.platforms else None),
+        quantize=args.quantize)
     print(json.dumps({"out_dir": args.out_dir,
                       "buckets": manifest["batch_buckets"],
                       "platforms": manifest["platforms"],
+                      "quantize": manifest["quantize"],
                       "self_check": "ok"}))
 
 

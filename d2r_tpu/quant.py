@@ -38,6 +38,17 @@ class QuantLeaf(struct.PyTreeNode):
         return self.q.astype(dtype) * self.scale.astype(dtype)
 
 
+# jax.export serializes the in/out pytree structure of an exported program;
+# custom nodes need an explicit registration or export of a quantized
+# predictor raises (QuantLeaf has no static auxdata, hence the empty bytes).
+jax.export.register_pytree_node_serialization(
+    QuantLeaf,
+    serialized_name="d2r_tpu.quant.QuantLeaf",
+    serialize_auxdata=lambda aux: b"",
+    deserialize_auxdata=lambda b: (),
+)
+
+
 def _is_quant_leaf(x) -> bool:
     return isinstance(x, QuantLeaf)
 

@@ -110,3 +110,31 @@ def test_manifest_contents(artifact):
     for fname in manifest["files"].values():
         assert os.path.getsize(os.path.join(out_dir, fname)) > 0
     assert os.path.exists(os.path.join(out_dir, "config.json"))
+
+
+def test_quantized_export_roundtrip(tmp_path):
+    """--quantize int8 bakes the weight-only int8 forward into the artifact:
+    the exported calling convention takes the QUANTIZED tree, load_exported
+    re-quantizes the paired checkpoint per the manifest, and the reloaded
+    predictions match the live quantized Predictor exactly."""
+    cfg, variables, batch = _setup()
+    out = str(tmp_path / "export_q")
+    manifest = export_predictor(cfg, variables, out, batch_buckets=(1, 4),
+                                pixel_dtype=jnp.float32, quantize="int8")
+    assert manifest["quantize"] == "int8"
+
+    live = Predictor(cfg, variables, batch_buckets=(1, 4), quantize="int8")
+    loaded = load_exported(out, variables)
+    assert loaded.quantize == "int8"
+    args = (batch["input_ids"][:3], batch["attention_mask"][:3],
+            batch["token_type_ids"][:3], batch["pixel_values"][:3])
+    want = live.predict(*args)
+    got = loaded.predict(*args)
+    np.testing.assert_allclose(got["probs"], want["probs"], atol=1e-6)
+
+    # and the quantized path really differs from (while agreeing closely
+    # with) the fp32 artifact -- guards against quantize being a no-op
+    dense = Predictor(cfg, variables, batch_buckets=(1, 4))
+    ref = dense.predict(*args)
+    assert not np.array_equal(got["probs"], ref["probs"])
+    np.testing.assert_allclose(got["probs"], ref["probs"], atol=0.05)
