@@ -109,7 +109,16 @@ def make_param_shardings(params, mesh: Mesh):
     has_model = MODEL_AXIS in mesh.axis_names and mesh.shape.get(MODEL_AXIS, 1) > 1
 
     def to_sharding(key_path, leaf):
-        spec = param_partition_spec(_path_str(key_path), has_model)
+        path = _path_str(key_path)
+        # quantized serving trees (quant.QuantLeaf children): the int8
+        # codes 'q' inherit the dense kernel's rule (same shape); the
+        # per-channel 'scale' follows the same rule where divisible and
+        # falls back to replication below (it is tiny either way). Stripping
+        # also hits LayerNorm/BatchNorm 'scale' leaves, whose parent path
+        # matches no rule — same replicated result as before.
+        if path.endswith("/q") or path.endswith("/scale"):
+            path = path.rsplit("/", 1)[0]
+        spec = param_partition_spec(path, has_model)
         if len(spec) > leaf.ndim:
             spec = P()
         # avoid uneven shards: fall back to replication when indivisible

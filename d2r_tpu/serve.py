@@ -44,11 +44,9 @@ class Predictor:
         if quantize:
             # weight-only int8 (d2r_tpu/quant.py): 4x fewer weight bytes per
             # request on the weight-HBM-bound small-batch path; dequant fuses
-            # into the consuming dots inside the jitted forward.
-            if mesh is not None:
-                raise NotImplementedError(
-                    "quantized multi-chip serving is not supported yet: "
-                    "param shardings are defined over dense trees")
+            # into the consuming dots inside the jitted forward. Composes
+            # with mesh serving: the int8 codes inherit the dense kernel's
+            # partition rule (parallel/mesh.py), scales replicate/follow.
             from d2r_tpu.quant import quantize_params
             variables = dict(variables,
                              params=quantize_params(variables["params"],

@@ -112,10 +112,34 @@ class TestQuantTree:
         np.testing.assert_array_equal(p1["label"][decisive],
                                       p0["label"][decisive])
 
-    def test_quantize_rejects_mesh(self):
+    @pytest.mark.slow
+    def test_quantized_mesh_serving_matches_single_device(self):
+        """int8 serving composes with dp x tp: the int8 codes inherit the
+        dense kernel's partition rule (parallel/mesh.py strips the QuantLeaf
+        '/q' / '/scale' suffix), and the sharded quantized predictor
+        reproduces the single-device quantized probabilities exactly."""
+        from jax.sharding import PartitionSpec as P
+
         from d2r_tpu.parallel.mesh import make_mesh
         from d2r_tpu.serve import Predictor
-        cfg, model, variables, _ = self._params()
-        mesh = make_mesh((-1,), ("data",))
-        with pytest.raises(NotImplementedError):
-            Predictor(cfg, variables, mesh=mesh, quantize="int8")
+
+        cfg, model, variables, batch = self._params()
+        args = (batch["input_ids"], batch["attention_mask"],
+                batch["token_type_ids"], batch["pixel_values"])
+        kwargs = dict(batch_buckets=(2,), quantize="int8")
+        want = Predictor(cfg, variables, **kwargs).predict(*args)
+
+        tp = Predictor(cfg, variables,
+                       mesh=make_mesh((1, 2), ("data", "model")), **kwargs)
+        np.testing.assert_allclose(tp.predict(*args)["probs"], want["probs"],
+                                   atol=1e-5)
+        # a TP rule must actually fire on at least one int8 code tensor
+        from flax.traverse_util import flatten_dict
+        qspecs = {
+            path[-2:]: leaf.q.sharding.spec
+            for path, leaf in flatten_dict(
+                tp.variables["params"],
+                is_leaf=lambda _, v: isinstance(v, QuantLeaf)).items()
+            if isinstance(leaf, QuantLeaf)}
+        assert any(s != P() for s in qspecs.values()), \
+            f"no TP rule fired on any int8 code tensor: {qspecs}"

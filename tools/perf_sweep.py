@@ -52,6 +52,10 @@ VARIANTS = {
     "bsz96": {"_batch_size": 96, "_uint8_pixels": True},
     # (d) BASELINE config 3: the padded-seqlen-128 recipe point
     "seq128": {"_max_seq": 128, "_uint8_pixels": True},
+    # gradient accumulation (train/state.py make_accum_step): one optimizer
+    # step per K microbatches — measures the throughput cost of the scan'd
+    # grad-sum vs K independent optimizer steps (the 'baseline' program)
+    "grad_accum4": {"_grad_accum": 4, "_uint8_pixels": True},
 }
 
 
@@ -77,6 +81,7 @@ def measure(overrides):
 
     overrides = dict(overrides)
     det_probe = overrides.pop("_deterministic_probe", False)
+    accum_k = overrides.pop("_grad_accum", 0)
     batch_size = overrides.pop("_batch_size", BATCH_SIZE)
     max_seq = overrides.pop("_max_seq", MAX_SEQ)
     uint8_pixels = overrides.pop("_uint8_pixels", False)
@@ -128,10 +133,26 @@ def measure(overrides):
             state, losses = jax.lax.scan(body, state, stacked,
                                          length=MEASURE_STEPS)
             return state, {"loss": losses[-1], "losses": losses}
+    elif accum_k:
+        # K-microbatch accumulation program, called CALLS times per window
+        # (async dispatch chains the donated state on device; one sync at
+        # the window end) — per-sample cost comparable to the multi-step
+        # scan at CALLS*K ~= MEASURE_STEPS microbatches/window.
+        from d2r_tpu.train.state import make_accum_step
+        accum = make_accum_step(model, accum_k)
+        calls = max(1, MEASURE_STEPS // accum_k)
+
+        def multi_step(state, stacked, rng, _accum=accum, _calls=calls):
+            for _ in range(_calls):
+                state, m = _accum(state, stacked, rng)
+            return state, {"loss": m["loss"],
+                           "losses": jnp.reshape(m["loss"], (1,))}
     else:
         multi_step = make_multi_step(model, MEASURE_STEPS)
+    scan_len = accum_k if accum_k else MEASURE_STEPS
+    micro_per_window = (calls * accum_k) if accum_k else MEASURE_STEPS
     stacked = {k: jnp.broadcast_to(jnp.asarray(v)[None],
-                                   (MEASURE_STEPS,) + np.shape(v))
+                                   (scan_len,) + np.shape(v))
                for k, v in batch.items()}
     t0 = time.perf_counter()
     state, metrics = multi_step(state, stacked, rng)
@@ -159,8 +180,8 @@ def measure(overrides):
     net = statistics.median(nets)
     assert np.isfinite(loss), loss
     return {
-        "samples_per_sec": round(batch_size * MEASURE_STEPS / net, 1),
-        "step_ms": round(net / MEASURE_STEPS * 1e3, 2),
+        "samples_per_sec": round(batch_size * micro_per_window / net, 1),
+        "step_ms": round(net / micro_per_window * 1e3, 2),
         "roundtrip_ms": round(roundtrip * 1e3, 2),
         "compile_or_warm_s": round(compile_s, 1),
         "loss": round(loss, 5),
