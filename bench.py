@@ -31,6 +31,7 @@ BASELINE.json's target is >=10x this per chip.
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -51,8 +52,22 @@ CEILING_SAMPLES_PER_SEC = 20_000.0
 
 
 def main() -> None:
+    import threading
+
     import jax
     import numpy as np
+
+    # Fail FAST if the TPU tunnel is unreachable: backend init then blocks
+    # ~35 min inside the plugin before raising UNAVAILABLE, which under a
+    # piped `timeout` looks like a silent empty run. Healthy device
+    # discovery takes seconds; 300 s is a >10x margin.
+    watchdog = threading.Timer(300.0, lambda: (
+        print(json.dumps({"metric": "finetune_samples_per_sec_per_chip",
+                          "error": "backend init exceeded 300s — TPU "
+                                   "tunnel unreachable"}), flush=True),
+        os._exit(3)))
+    watchdog.daemon = True
+    watchdog.start()
 
     from d2r_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -68,6 +83,7 @@ def main() -> None:
         return jnp.broadcast_to(jnp.asarray(x)[None], (k,) + tuple(np.shape(x)))
 
     n_chips = max(len(jax.devices()), 1)
+    watchdog.cancel()  # devices acquired; compiles may legitimately be slow
 
     cfg = D2RConfig(DR_step=4, max_seq=MAX_SEQ, batch_size=BATCH_SIZE,
                     compute_dtype="bfloat16", use_pallas=True)
