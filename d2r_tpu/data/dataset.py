@@ -37,12 +37,17 @@ def encode_text(tokenizer, text: str, max_seq: int):
     (input_ids, attention_mask, token_type_ids) int32 arrays of length
     ``max_seq``. Shared by MSDDataset and the serving preprocessor so
     train/serve tokenisation can never skew."""
-    tokens = tokenizer.tokenize(text)
-    if len(tokens) > max_seq - 2:
-        tokens = tokens[: max_seq - 2]
-    ids = ([tokenizer.cls_token_id]
-           + tokenizer.convert_tokens_to_ids(tokens)
-           + [tokenizer.sep_token_id])
+    if hasattr(tokenizer, "encode_ids"):
+        # single-call path (native C fast path for ASCII text when built,
+        # tokenizer.py::BertTokenizer.encode_ids) — same ids as the
+        # tokenize->truncate->convert sequence below
+        body = tokenizer.encode_ids(text, max_seq - 2)
+    else:
+        tokens = tokenizer.tokenize(text)
+        if len(tokens) > max_seq - 2:
+            tokens = tokens[: max_seq - 2]
+        body = tokenizer.convert_tokens_to_ids(tokens)
+    ids = [tokenizer.cls_token_id] + body + [tokenizer.sep_token_id]
     n = len(ids)
     input_ids = np.zeros(max_seq, np.int32)
     input_ids[:n] = ids

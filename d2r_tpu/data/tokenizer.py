@@ -145,7 +145,8 @@ class BertTokenizer:
     Construct from a local ``vocab.txt`` (one token per line, id = line no).
     """
 
-    def __init__(self, vocab: Dict[str, int], do_lower_case: bool = True):
+    def __init__(self, vocab: Dict[str, int], do_lower_case: bool = True,
+                 vocab_path: Optional[str] = None):
         self.vocab = vocab
         self.inv_vocab = {v: k for k, v in vocab.items()}
         self.basic = BasicTokenizer(do_lower_case)
@@ -154,6 +155,26 @@ class BertTokenizer:
         self.unk_token_id = vocab.get("[UNK]", 1)
         self.cls_token_id = vocab.get("[CLS]", 2)
         self.sep_token_id = vocab.get("[SEP]", 3)
+        # native (C) fast path for ASCII text — only when the vocab came
+        # from a file (the C side builds its own hash table from it) and
+        # semantics match (lower_case; ASCII has no accents to strip)
+        self._native_handle = None
+        if vocab_path is not None and do_lower_case:
+            from d2r_tpu.data.native_text import load_native_vocab
+            self._native_handle = load_native_vocab(vocab_path)
+
+    def encode_ids(self, text: str, max_ids: int) -> List[int]:
+        """WordPiece ids WITHOUT specials, truncated to ``max_ids`` —
+        identical to ``convert_tokens_to_ids(tokenize(text))[:max_ids]``.
+        ASCII text takes the GIL-free C path (native/wordpiece.c) when the
+        library is available; everything else (and any native miss) uses
+        the Python implementation."""
+        if self._native_handle is not None:
+            from d2r_tpu.data.native_text import native_encode
+            ids = native_encode(self._native_handle, text, max_ids)
+            if ids is not None:
+                return ids
+        return self.convert_tokens_to_ids(self.tokenize(text))[:max_ids]
 
     @classmethod
     def from_vocab_file(cls, path: str, do_lower_case: bool = True) -> "BertTokenizer":
@@ -161,7 +182,7 @@ class BertTokenizer:
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
                 vocab[line.rstrip("\n")] = i
-        return cls(vocab, do_lower_case)
+        return cls(vocab, do_lower_case, vocab_path=path)
 
     @classmethod
     def from_pretrained_dir(cls, path: str, do_lower_case: bool = True
