@@ -106,6 +106,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_layers", action="store_true",
                    help="run tower layers as one nn.scan over stacked params "
                         "(identical math, ~12x smaller HLO / faster compile)")
+    p.add_argument("--seq_shard", action="store_true",
+                   help="Megatron-style sequence parallelism: under a >1 "
+                        "'model' mesh axis, run tower LN/dropout/residual "
+                        "segments seq-sharded (reduce-scatter+all-gather "
+                        "instead of all-reduce; identical math)")
     p.add_argument("--pixel_transfer", default="uint8",
                    choices=["uint8", "float32"],
                    help="image host->device format: uint8 ships raw resized "
@@ -183,6 +188,7 @@ def config_from_args(args) -> D2RConfig:
         prng_impl=args.prng_impl,
         pixel_transfer=args.pixel_transfer,
         scan_layers=args.scan_layers,
+        seq_shard=args.seq_shard,
     )
 
 

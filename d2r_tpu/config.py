@@ -202,6 +202,12 @@ class D2RConfig:
     remat: bool = False                 # jax.checkpoint over encoder layers
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # Sequence parallelism (Megatron-SP): under a >1 'model' axis, constrain
+    # tower activations to P('data','model') on (batch, seq) at block
+    # boundaries so the LN/dropout/residual segments run seq-sharded and
+    # GSPMD turns each block's TP all-reduce into reduce-scatter+all-gather.
+    # Identical math (tests/test_tp_semantics.py); no-op without tp.
+    seq_shard: bool = False
     log_steps: int = 2                  # ref: refresh_step, modules/train.py:64
     debug_nans: bool = False
     profile_dir: Optional[str] = None

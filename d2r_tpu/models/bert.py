@@ -137,11 +137,15 @@ class _ScanBertBody(nn.Module):
     cfg: TextEncoderConfig
     dtype: Any = jnp.float32
     use_pallas: bool = True
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(self, x, key_bias, deterministic: bool = True):
         y = BertLayer(self.cfg, self.dtype, self.use_pallas, name="layer")(
             x, key_bias, deterministic)
+        if self.seq_shard:
+            from d2r_tpu.parallel.mesh import seq_sharding_constraint
+            y = seq_sharding_constraint(y)
         return y, None
 
 
@@ -162,9 +166,13 @@ class BertEncoder(nn.Module):
     use_pallas: bool = True
     remat: bool = False
     scan_layers: bool = False
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(self, x, key_bias=None, deterministic: bool = True):
+        if self.seq_shard:
+            from d2r_tpu.parallel.mesh import seq_sharding_constraint
+            x = seq_sharding_constraint(x)
         if self.scan_layers:
             # remat composes with scan: rematerialise each scan-body step
             # (previously remat was silently ignored under scan_layers).
@@ -178,7 +186,7 @@ class BertEncoder(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=self.cfg.num_hidden_layers,
             )
-            x, _ = scan(self.cfg, self.dtype, self.use_pallas,
+            x, _ = scan(self.cfg, self.dtype, self.use_pallas, self.seq_shard,
                         name="layers_scanned")(x, key_bias, deterministic)
             return x
         block = BertLayer
@@ -187,4 +195,7 @@ class BertEncoder(nn.Module):
         for i in range(self.cfg.num_hidden_layers):
             x = block(self.cfg, self.dtype, self.use_pallas, name=f"layer_{i}")(
                 x, key_bias, deterministic)
+            if self.seq_shard:
+                from d2r_tpu.parallel.mesh import seq_sharding_constraint
+                x = seq_sharding_constraint(x)
         return x

@@ -68,10 +68,11 @@ class D2RModel(nn.Module):
 
         # --- dual towers, sequential and independent (ref: :649-729) ---
         scan = getattr(c, "scan_layers", False)
+        sp = getattr(c, "seq_shard", False)
         vision_out = CLIPVisionEncoder(vc, dtype, c.use_pallas, c.remat, scan,
-                                       name="encoder_vision_layers")(
+                                       sp, name="encoder_vision_layers")(
             vision_emb, deterministic)
-        text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat, scan,
+        text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat, scan, sp,
                                name="encoder_text_layers")(
             text_emb, key_bias, deterministic)
 

@@ -133,11 +133,15 @@ class _ScanCLIPBody(nn.Module):
     cfg: VisionEncoderConfig
     dtype: Any = jnp.float32
     use_pallas: bool = True
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         y = CLIPEncoderLayer(self.cfg, self.dtype, self.use_pallas,
                              name="layer")(x, deterministic)
+        if self.seq_shard:
+            from d2r_tpu.parallel.mesh import seq_sharding_constraint
+            y = seq_sharding_constraint(y)
         return y, None
 
 
@@ -151,9 +155,13 @@ class CLIPVisionEncoder(nn.Module):
     use_pallas: bool = True
     remat: bool = False
     scan_layers: bool = False
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.seq_shard:
+            from d2r_tpu.parallel.mesh import seq_sharding_constraint
+            x = seq_sharding_constraint(x)
         if self.scan_layers:
             body = _ScanCLIPBody
             if self.remat:
@@ -165,7 +173,7 @@ class CLIPVisionEncoder(nn.Module):
                 in_axes=(nn.broadcast,),
                 length=self.cfg.num_hidden_layers,
             )
-            x, _ = scan(self.cfg, self.dtype, self.use_pallas,
+            x, _ = scan(self.cfg, self.dtype, self.use_pallas, self.seq_shard,
                         name="layers_scanned")(x, deterministic)
             return x
         block = CLIPEncoderLayer
@@ -174,4 +182,7 @@ class CLIPVisionEncoder(nn.Module):
         for i in range(self.cfg.num_hidden_layers):
             x = block(self.cfg, self.dtype, self.use_pallas, name=f"layer_{i}")(
                 x, deterministic)
+            if self.seq_shard:
+                from d2r_tpu.parallel.mesh import seq_sharding_constraint
+                x = seq_sharding_constraint(x)
         return x

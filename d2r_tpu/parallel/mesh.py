@@ -130,6 +130,34 @@ def make_param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def seq_sharding_constraint(x):
+    """Megatron-style sequence parallelism (cfg.seq_shard): constrain a
+    (batch, seq, hidden) activation to ``P('data', 'model')`` at tower block
+    boundaries. Under tensor parallelism the LayerNorm/dropout/residual
+    segments between the sharded matmuls are then seq-sharded instead of
+    replicated, and XLA GSPMD lowers each block's TP all-reduce into a
+    reduce-scatter + all-gather pair — identical math, 1/tp the activation
+    memory and VPU work on those segments.
+
+    No-op (returns ``x`` unchanged) outside a mesh context, without a >1
+    'model' axis, or when the seq dim does not divide the tp degree (e.g. the
+    50 ragged vision tokens on tp=4) — so the flag is safe to leave on.
+    """
+    try:
+        from jax._src.mesh import thread_resources
+    except ImportError:  # older jax: public (now-deprecated) alias
+        from jax.interpreters.pxla import thread_resources
+
+    mesh = thread_resources.env.physical_mesh
+    if mesh.empty or MODEL_AXIS not in mesh.axis_names:
+        return x
+    tp = mesh.shape[MODEL_AXIS]
+    if tp <= 1 or x.ndim < 3 or x.shape[1] % tp != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+
+
 def _data_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get(DATA_AXIS, 1)
 

@@ -141,6 +141,60 @@ def test_tp_train_step_update_matches_replicated(eight_devices):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_seq_sharding_constraint_applies_and_noops(eight_devices):
+    """Under a dp x tp mesh the helper pins (batch, seq) to P('data','model');
+    outside a mesh (or with an indivisible seq dim) it is the identity."""
+    from d2r_tpu.parallel.mesh import seq_sharding_constraint
+
+    x = jnp.ones((8, 16, 32))
+    # no mesh context: identity
+    assert seq_sharding_constraint(x) is x
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    with mesh:
+        y = jax.jit(seq_sharding_constraint)(x)
+        assert y.sharding.spec == P("data", "model")
+        # ragged seq (17 % 4 != 0): no-op rather than an uneven-shard error
+        ragged = jnp.ones((8, 17, 32))
+        assert seq_sharding_constraint(ragged) is ragged
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4)])
+def test_seq_shard_loss_logits_match_replicated(eight_devices, mesh_shape):
+    """cfg.seq_shard is a pure layout hint: the sp-annotated towers under
+    dp x tp must reproduce the unannotated single-device math (train mode,
+    so BatchNorm batch statistics are covered too)."""
+    cfg = tiny_test_config(batch_size=8, seq_shard=True)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(8, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=3)
+    inputs = {k: jnp.asarray(v) for k, v in _model_inputs(batch).items()}
+    variables = jax.jit(model.init)(jax.random.key(0), **inputs)
+
+    @jax.jit
+    def train_mode_forward(variables, inputs):
+        (loss, logits, aux), mutated = model.apply(
+            variables, **inputs, deterministic=True,
+            use_running_average=False, mutable=["batch_stats"])
+        return loss, logits, aux["js_loss"]
+
+    # no mesh: seq_sharding_constraint no-ops -> plain single-device math
+    l1, g1, js1 = train_mode_forward(variables, inputs)
+
+    mesh = make_mesh(mesh_shape, ("data", "model"))
+    shardings = make_param_shardings(variables["params"], mesh)
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"],
+                                    shardings)
+    with mesh:
+        l2, g2, js2 = train_mode_forward(
+            dict(variables, params=params), shard_batch(inputs, mesh))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    np.testing.assert_allclose(float(js1), float(js2), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
+
+
 @pytest.mark.slow
 def test_scan_layers_tp_matches_replicated(eight_devices):
     """cfg.scan_layers under dp x tp: the scanned (N, ...) tower params get a
