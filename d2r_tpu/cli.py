@@ -78,6 +78,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="data-parallel axis size (-1 = all devices)")
     p.add_argument("--mesh_model", default=1, type=int,
                    help="tensor-parallel axis size")
+    p.add_argument("--mesh_topology", action="store_true",
+                   help="order mesh axes along the physical ICI torus "
+                        "(jax mesh_utils; recommended on pod slices)")
+    # multi-host (pod-scale) runtime — parallel/distributed.py. On a Cloud
+    # TPU pod slice pass --num_processes -1 for full auto-detection; on
+    # CPU/GPU clusters give explicit coordinator/rank/world.
+    p.add_argument("--coordinator_address", default=None, type=str,
+                   help="host:port of process 0 (multi-host training)")
+    p.add_argument("--num_processes", default=None, type=int,
+                   help="world size; -1 = auto-detect (Cloud TPU pods)")
+    p.add_argument("--process_id", default=None, type=int,
+                   help="this process's rank in [0, num_processes)")
     p.add_argument("--num_workers", default=16, type=int)
     p.add_argument("--pretrained_dir", default=None, type=str,
                    help="dir with bert/ and clip/ torch state dicts to convert")
@@ -189,6 +201,7 @@ def config_from_args(args) -> D2RConfig:
         pixel_transfer=args.pixel_transfer,
         scan_layers=args.scan_layers,
         seq_shard=args.seq_shard,
+        mesh_topology=args.mesh_topology,
     )
 
 
@@ -207,6 +220,14 @@ def main(argv=None) -> None:
             pass
     from d2r_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    # multi-host: join the pod BEFORE any device use; no-op single-host.
+    from d2r_tpu.parallel import distributed
+    if args.num_processes is not None and args.num_processes < 0:
+        distributed.initialize(auto=True)
+    else:
+        distributed.initialize(args.coordinator_address, args.num_processes,
+                               args.process_id)
 
     # deterministic seeding (ref: run.py:29-35): JAX threads PRNG keys
     # explicitly, so cfg.seed fully determines init + dropout + shuffling.
@@ -234,12 +255,18 @@ def main(argv=None) -> None:
         image_size=vc.image_size, num_vision_tokens=vc.num_tokens,
         sample_ratio=cfg.sample_ratio if mode == "train" else 1.0,
         sentic_lexicon=lexicon, pixel_transfer=cfg.pixel_transfer)
+    # multi-host: every process loads only its slice of each global batch
+    shard = distributed.process_shard() if distributed.is_multiprocess() \
+        else None
     train_loader = DataLoader(mk("train"), cfg.batch_size, shuffle=True,
-                              num_workers=args.num_workers, seed=cfg.seed)
+                              num_workers=args.num_workers, seed=cfg.seed,
+                              process_shard=shard)
     dev_loader = DataLoader(mk("dev"), cfg.batch_size, shuffle=False,
-                            num_workers=max(args.num_workers // 2, 1))
+                            num_workers=max(args.num_workers // 2, 1),
+                            process_shard=shard)
     test_loader = DataLoader(mk("test"), cfg.batch_size, shuffle=False,
-                             num_workers=max(args.num_workers // 2, 1))
+                             num_workers=max(args.num_workers // 2, 1),
+                             process_shard=shard)
 
     model = D2RClassifier(cfg)
     trainer = Trainer(train_data=train_loader, dev_data=dev_loader,

@@ -202,6 +202,9 @@ class D2RConfig:
     remat: bool = False                 # jax.checkpoint over encoder layers
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # order mesh axes along the physical ICI torus (mesh_utils); falls back
+    # to the deterministic process-ordered reshape off-TPU
+    mesh_topology: bool = False
     # Sequence parallelism (Megatron-SP): under a >1 'model' axis, constrain
     # tower activations to P('data','model') on (batch, seq) at block
     # boundaries so the LN/dropout/residual segments run seq-sharded and

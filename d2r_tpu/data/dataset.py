@@ -23,7 +23,7 @@ import concurrent.futures as cf
 import json
 import os
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -168,7 +168,14 @@ class DataLoader:
         num_workers: int = 8,
         seed: int = 2023,
         drop_last: bool = False,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
+        """``process_shard=(rank, count)`` is the multi-host contract
+        (parallel/distributed.py): ``batch_size`` stays the GLOBAL batch;
+        every process computes the same deterministic global order (seeded
+        numpy shuffle) and this loader yields only rank's contiguous
+        batch_size/count slice of each batch — disjoint across processes,
+        concatenating to exactly the single-process batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -176,6 +183,16 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        if process_shard is not None:
+            rank, count = process_shard
+            if not (0 <= rank < count):
+                raise ValueError(f"process_shard rank {rank} outside world "
+                                 f"size {count}")
+            if batch_size % count != 0:
+                raise ValueError(
+                    f"global batch size {batch_size} must divide the "
+                    f"process count {count} (static per-host shapes)")
+        self.process_shard = process_shard
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -202,6 +219,12 @@ class DataLoader:
             else:
                 valid = np.ones(self.batch_size, bool)
             batches.append((idx, valid))
+        if self.process_shard is not None:
+            rank, count = self.process_shard
+            local = self.batch_size // count
+            batches = [(idx[rank * local:(rank + 1) * local],
+                        valid[rank * local:(rank + 1) * local])
+                       for idx, valid in batches]
         return batches
 
     PREFETCH_BATCHES = 2

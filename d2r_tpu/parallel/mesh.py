@@ -34,14 +34,34 @@ def make_mesh(
     mesh_shape: Sequence[int] = (-1,),
     axis_names: Sequence[str] = (DATA_AXIS,),
     devices: Optional[Sequence[Any]] = None,
+    topology_aware: bool = False,
 ) -> Mesh:
-    """Build a mesh; a single -1 dim absorbs all remaining devices."""
+    """Build a mesh; a single -1 dim absorbs all remaining devices.
+
+    ``devices`` defaults to ``jax.devices()`` — GLOBAL across processes, so
+    on a multi-host pod every process builds the same mesh and the jitted
+    step is one SPMD program over the slice.
+
+    ``topology_aware=True`` routes through
+    ``jax.experimental.mesh_utils.create_device_mesh`` so the axis order
+    follows the physical ICI torus (keeps the fast-changing mesh axis on
+    the fast links of a pod slice); it falls back to the deterministic
+    process-ordered reshape off-TPU or when mesh_utils rejects the shape.
+    """
     devices = list(devices if devices is not None else jax.devices())
     shape = list(mesh_shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devices) // known
     n = int(np.prod(shape))
+    if topology_aware and n == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+            grid = mesh_utils.create_device_mesh(tuple(shape),
+                                                 devices=devices)
+            return Mesh(grid, tuple(axis_names))
+        except Exception:  # non-TPU backends / unsupported topologies
+            pass
     grid = np.asarray(devices[:n]).reshape(shape)
     return Mesh(grid, tuple(axis_names))
 
@@ -165,17 +185,37 @@ def _data_axis_size(mesh: Mesh) -> int:
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh, sharded over the data axis.
 
-    Batches whose leading dim does not divide the data-axis size (tiny test
-    batches on the 8-device CPU mesh) fall back to replication — the jitted
-    step computes identical global math either way, only the layout differs.
+    Single-process: a plain ``device_put``. Batches whose leading dim does
+    not divide the data-axis size (tiny test batches on the 8-device CPU
+    mesh) fall back to replication — the jitted step computes identical
+    global math either way, only the layout differs.
+
+    Multi-process (pod-scale, ``parallel/distributed.py``): every process
+    passes its LOCAL 1/num_processes slice of the global batch
+    (``DataLoader(process_shard=...)`` yields exactly that) and the global
+    array is assembled with ``jax.make_array_from_process_local_data`` —
+    each host's rows land on its own chips, no cross-host transfer.
     """
     n = _data_axis_size(mesh)
     sharded = batch_sharding(mesh)
     rep = replicated(mesh)
+    nproc = jax.process_count()
 
-    def place(x):
-        ok = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
-        return jax.device_put(x, sharded if ok else rep)
+    if nproc > 1:
+        def place(x):
+            x = np.asarray(x)
+            global_rows = x.shape[0] * nproc if np.ndim(x) >= 1 else 0
+            if np.ndim(x) < 1 or global_rows % n != 0:
+                raise ValueError(
+                    f"multi-host batches must shard evenly: local leading "
+                    f"dim {np.shape(x)} x {nproc} processes vs data axis "
+                    f"{n}")
+            return jax.make_array_from_process_local_data(
+                sharded, x, (global_rows,) + x.shape[1:])
+    else:
+        def place(x):
+            ok = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+            return jax.device_put(x, sharded if ok else rep)
 
     return jax.tree_util.tree_map(place, batch)
 
@@ -184,13 +224,27 @@ def shard_stacked_batch(stacked, mesh: Mesh):
     """Place a (K, B, ...) stacked batch dict onto the mesh: the scan axis K
     stays unsharded, the batch axis shards over 'data' (multi-step dispatch,
     train/state.py make_multi_step). Indivisible batch dims replicate, as in
-    :func:`shard_batch`."""
+    :func:`shard_batch`; multi-process assembles from per-host (K, B/nproc,
+    ...) slices."""
     n = _data_axis_size(mesh)
     sharded = NamedSharding(mesh, P(None, DATA_AXIS))
     rep = replicated(mesh)
+    nproc = jax.process_count()
 
-    def place(x):
-        ok = np.ndim(x) >= 2 and np.shape(x)[1] % n == 0
-        return jax.device_put(x, sharded if ok else rep)
+    if nproc > 1:
+        def place(x):
+            x = np.asarray(x)
+            global_rows = x.shape[1] * nproc if np.ndim(x) >= 2 else 0
+            if np.ndim(x) < 2 or global_rows % n != 0:
+                raise ValueError(
+                    f"multi-host stacked batches must shard evenly: local "
+                    f"shape {np.shape(x)} x {nproc} processes vs data axis "
+                    f"{n}")
+            return jax.make_array_from_process_local_data(
+                sharded, x, (x.shape[0], global_rows) + x.shape[2:])
+    else:
+        def place(x):
+            ok = np.ndim(x) >= 2 and np.shape(x)[1] % n == 0
+            return jax.device_put(x, sharded if ok else rep)
 
     return jax.tree_util.tree_map(place, stacked)

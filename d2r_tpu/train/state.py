@@ -39,13 +39,36 @@ def _model_inputs(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 def create_train_state(model, cfg: D2RConfig, tx, rng, sample_batch,
-                       total_steps: int = 1000) -> TrainState:
+                       total_steps: int = 1000, mesh=None) -> TrainState:
     """Init variables and build the train state. Pass ``tx=None`` to get the
     TPU-fast AdamW selected by ``cfg.optimizer_impl`` (train/optimizer.py,
     default: single-chain grouped) built against the freshly initialised
-    param tree."""
-    variables = jax.jit(functools.partial(model.init))(
-        rng, **_model_inputs(sample_batch))
+    param tree.
+
+    ``mesh`` (multi-host, parallel/distributed.py): params must be born as
+    GLOBAL arrays — committed single-device arrays cannot enter a
+    multi-process jit. Init is jitted with out_shardings from the mesh's
+    partition rules (replicated unless a >1 model axis shards them), over a
+    zeroed copy of the sample batch so every process traces the identical
+    value-independent program.
+    """
+    init_fn = functools.partial(model.init)
+    inputs = _model_inputs(sample_batch)
+    if mesh is not None and jax.process_count() > 1:
+        import numpy as np
+        from d2r_tpu.parallel.mesh import make_param_shardings
+        inputs = jax.tree_util.tree_map(
+            lambda x: np.zeros_like(np.asarray(x)), inputs)
+        # make_param_shardings over the WHOLE variables tree keeps the exact
+        # pytree structure; its path rules only ever match params leaves, so
+        # batch_stats (and everything else) replicate.
+        shapes = jax.eval_shape(init_fn, rng, **inputs)
+        out_shardings = make_param_shardings(shapes, mesh)
+        with mesh:
+            variables = jax.jit(init_fn, out_shardings=out_shardings)(
+                rng, **inputs)
+    else:
+        variables = jax.jit(init_fn)(rng, **inputs)
     if tx is None:
         from d2r_tpu.train.optimizer import make_optimizer
         tx = make_optimizer(cfg, total_steps, params=variables["params"])

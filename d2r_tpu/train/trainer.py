@@ -71,6 +71,11 @@ class Trainer(BaseTrainer):
         self.model = model
         self.cfg = cfg
         self.logger = logger or logging.getLogger(__name__)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: every process runs the same loop; only rank 0
+            # speaks (warnings/errors still surface everywhere)
+            self.logger = logging.getLogger("d2r_tpu.trainer.nonzero_rank")
+            self.logger.setLevel(logging.WARNING)
         self.writer = writer  # optional metric writer (ref keeps it None, run.py:122)
         self.cleanup_output = cleanup_output
 
@@ -86,7 +91,9 @@ class Trainer(BaseTrainer):
         else:
             self.train_num_steps = 1
 
-        self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+        self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names,
+                              topology_aware=getattr(cfg, "mesh_topology",
+                                                     False))
         self._train_step = make_train_step(model)
         self._multi_steps = {}  # K -> jitted K-step scan program
         self._accum_steps = {}  # K -> jitted K-microbatch accumulation step
@@ -103,7 +110,9 @@ class Trainer(BaseTrainer):
         surgery, ref: modules/train.py:92-111 — see utils/weights.py)."""
         rng = jax.random.key(self.cfg.seed)
         state = create_train_state(self.model, self.cfg, None, rng,
-                                   sample_batch, total_steps=self.train_num_steps)
+                                   sample_batch, total_steps=self.train_num_steps,
+                                   mesh=self.mesh if jax.process_count() > 1
+                                   else None)
         if params is not None:
             state = state.replace(params=params)
         if batch_stats is not None:
@@ -298,10 +307,19 @@ class Trainer(BaseTrainer):
                                    np.asarray(batch["labels"]), valid))
         total_loss = 0.0
         for loss, logits, labels, valid in device_out:
-            total_loss += float(loss)
-            preds = np.asarray(logits).argmax(-1)
+            total_loss += float(loss)  # scalar jit outputs are replicated
+            # multi-host: logits are batch-sharded globals; fetch the rows
+            # this process contributed, which pair 1:1 with its local labels
+            from d2r_tpu.parallel.distributed import fetch_local_rows
+            preds = fetch_local_rows(logits).argmax(-1)
             true_labels.extend(labels[valid].tolist())
             pred_labels.extend(preds[valid].tolist())
+        if jax.process_count() > 1:
+            # metrics are computed over ALL samples on every process (the
+            # best-F1 checkpoint decision must be globally consistent)
+            from d2r_tpu.parallel.distributed import allgather_1d
+            true_labels = allgather_1d(true_labels)
+            pred_labels = allgather_1d(pred_labels)
         m = get_four_metrics(true_labels, pred_labels, average="weighted",
                              num_classes=self.cfg.num_classes)
         m["loss"] = total_loss
@@ -313,6 +331,8 @@ class Trainer(BaseTrainer):
         this makes it functional."""
         if not self.cfg.write_path:
             return
+        if jax.process_index() != 0:
+            return  # labels/preds are global after the eval allgather
         import json
         os.makedirs(os.path.dirname(self.cfg.write_path) or ".", exist_ok=True)
         with open(self.cfg.write_path, "w", encoding="utf-8") as f:
@@ -343,9 +363,12 @@ class Trainer(BaseTrainer):
                                 include_opt_state=self.cfg.save_opt_state)
                 # Self-describing checkpoint: d2r-serve / resume read the
                 # model geometry from here instead of re-typed CLI flags.
-                from d2r_tpu.config import save_config_json
-                save_config_json(self.cfg, os.path.join(self.cfg.save_path,
-                                                        "config.json"))
+                # (orbax coordinates the multi-host save itself; this side
+                # file is host-written, so rank 0 only)
+                if jax.process_index() == 0:
+                    from d2r_tpu.config import save_config_json
+                    save_config_json(self.cfg, os.path.join(
+                        self.cfg.save_path, "config.json"))
                 self.logger.info("Save best model at %s", self.cfg.save_path)
         return result
 

@@ -1,0 +1,146 @@
+"""Multi-host (pod-scale) training: 2-process CPU cluster integration.
+
+The reference is single-process (SURVEY.md section 2.9). This build scales
+out via jax.distributed + make_array_from_process_local_data
+(parallel/distributed.py): every process loads a disjoint slice of each
+global batch and joins one SPMD program.
+
+The integration test spawns TWO real OS processes, each with 4 virtual CPU
+devices, that drive the FULL training CLI (run.py) against a shared fake
+dataset through a localhost coordinator — data pipeline, mesh, jitted
+steps, Orbax best-model save, and the allgather'd eval metrics all run
+multi-process. The final test loss must agree across ranks and match the
+single-process oracle.
+
+Fast unit tests cover the DataLoader process_shard contract without any
+distributed runtime.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------
+# DataLoader process_shard contract (pure host logic, no jax.distributed)
+# --------------------------------------------------------------------------
+
+def _make_loader(tmp_path, batch_size, process_shard=None, n=10):
+    from d2r_tpu.data.dataset import (DataLoader, MSDDataset, MSDProcessor,
+                                      write_fake_dataset)
+    paths = write_fake_dataset(str(tmp_path / "ds"), n=n, image_size=32)
+    proc = MSDProcessor({k: paths[k] for k in ("train", "dev", "test")},
+                        "no-such-vocab", vocab_size=128)
+    ds = MSDDataset(proc, paths["img_dir"], max_seq=8, mode="train",
+                    image_size=32, num_vision_tokens=5)
+    return DataLoader(ds, batch_size, shuffle=True, num_workers=2,
+                      seed=7, process_shard=process_shard)
+
+
+def test_process_shard_slices_are_disjoint_and_complete(tmp_path):
+    """Rank slices concatenate to exactly the single-process batches —
+    same samples, same order, same wrap-pad valid mask."""
+    full = _make_loader(tmp_path, batch_size=4)
+    r0 = _make_loader(tmp_path, batch_size=4, process_shard=(0, 2))
+    r1 = _make_loader(tmp_path, batch_size=4, process_shard=(1, 2))
+
+    for bf, b0, b1 in zip(iter(full), iter(r0), iter(r1)):
+        for k in bf:
+            got = np.concatenate([b0[k], b1[k]], axis=0)
+            np.testing.assert_array_equal(got, bf[k], err_msg=k)
+        assert b0[k].shape[0] * 2 == bf[k].shape[0]
+
+
+def test_process_shard_validation(tmp_path):
+    with pytest.raises(ValueError, match="divide"):
+        _make_loader(tmp_path, batch_size=5, process_shard=(0, 2))
+    with pytest.raises(ValueError, match="rank"):
+        _make_loader(tmp_path, batch_size=4, process_shard=(2, 2))
+
+
+def test_local_batch_size_divisibility():
+    from d2r_tpu.parallel.distributed import local_batch_size
+    assert local_batch_size(8) == 8  # single process
+
+
+# --------------------------------------------------------------------------
+# 2-process end-to-end CLI drive
+# --------------------------------------------------------------------------
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _cli_cmd(paths, out_dir, extra):
+    return [sys.executable, os.path.join(REPO, "run.py"),
+            "--device", "cpu", "--bert_name", "tiny-bert",
+            "--vit_name", "tiny-vit", "--embed_size", "64",
+            "--num_head_IMRC", "4", "--hid_IMRC", "64", "--hid_router", "32",
+            "--max_seq", "16", "--batch_size", "8", "--num_epochs", "1",
+            "--lr", "3e-4", "--compute_dtype", "float32", "--no_pallas",
+            "--num_workers", "2",
+            "--train_json", paths["train"], "--dev_json", paths["dev"],
+            "--test_json", paths["test"], "--img_dir", paths["img_dir"],
+            "--save_path", out_dir] + extra
+
+
+def _final_test_loss(stdout: str) -> float:
+    lines = stdout.splitlines()
+    for i, line in enumerate(lines):
+        if "Test Eval results" in line:
+            for later in lines[i:]:
+                if "loss =" in later:
+                    return float(later.split("loss =")[1].strip())
+    raise AssertionError(f"no test loss in output:\n{stdout[-3000:]}")
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(tmp_path):
+    from d2r_tpu.data.dataset import write_fake_dataset
+    paths = write_fake_dataset(str(tmp_path / "ds"), n=12, image_size=224)
+    port = _free_port()
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)  # --device cpu pins the platform
+
+    procs = []
+    shared_out = str(tmp_path / "out_multi")  # orbax multihost saves
+    for rank in range(2):                     # coordinate on ONE directory
+        out = shared_out
+        cmd = _cli_cmd(paths, out, [
+            "--coordinator_address", f"127.0.0.1:{port}",
+            "--num_processes", "2", "--process_id", str(rank)])
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+
+    # rank 0 logs; rank 1 runs the same program silently
+    multi_loss = _final_test_loss(outs[0])
+    assert "Test Eval results" not in outs[1]
+
+    # single-process oracle on the identical dataset/config (1 device —
+    # dp exactness across device counts is proven in test_dp_semantics)
+    oracle = subprocess.run(
+        _cli_cmd(paths, str(tmp_path / "out_single"), []),
+        env=dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=1"),
+        cwd=REPO, text=True, capture_output=True, timeout=1500)
+    assert oracle.returncode == 0, oracle.stdout[-4000:] + oracle.stderr[-2000:]
+    single_loss = _final_test_loss(oracle.stdout + oracle.stderr)
+
+    np.testing.assert_allclose(multi_loss, single_loss, rtol=2e-4)
