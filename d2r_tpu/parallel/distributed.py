@@ -25,6 +25,7 @@ clusters and for the 2-process CPU integration test
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Optional
 
@@ -77,6 +78,45 @@ def initialize(
     logger.info("multi-host runtime up: process %d/%d, %d local / %d global "
                 "devices", jax.process_index(), jax.process_count(),
                 jax.local_device_count(), jax.device_count())
+
+
+def warmup_collectives(mesh=None) -> None:
+    """Connect the cross-process collective transport cliques NOW, while the
+    processes are still tightly synchronized from ``initialize``.
+
+    Without this, the first real collective fires inside the first jitted
+    train step — after a multi-minute per-process XLA compile whose skew
+    (on oversubscribed CI hosts: tests/test_multihost.py runs two ranks on
+    one core) can exceed the transport's connect timeout. Gloo's TCP
+    full-mesh connect then fails with "Gloo context initialization failed:
+    Connect timeout" even though the same pair of processes connects fine
+    when both arrive promptly (verified empirically). Once a clique is
+    connected it is reused by every later collective, so one tiny psum per
+    device group de-risks the whole run. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+    # full-device clique (covers pure-dp programs and the eval allgather)
+    multihost_utils.sync_global_devices("d2r_tpu_collective_warmup")
+    if mesh is None:
+        return
+    # per-axis subgroup cliques (dp x tp meshes: GSPMD all-reduces over one
+    # axis span only that axis's device subsets)
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    for ax in mesh.axis_names:
+        if mesh.shape[ax] <= 1:
+            continue
+        f = jax.jit(shard_map(
+            functools.partial(jax.lax.psum, axis_name=ax),
+            mesh=mesh, in_specs=P(), out_specs=P()))
+        with mesh:
+            # host numpy input: placed replicated on every process (a
+            # device-committed array could not enter a multi-process jit)
+            np.asarray(f(np.zeros((8,), np.float32)))  # fetch = sync
+    logger.info("collective warmup done (%d processes)", jax.process_count())
 
 
 def process_shard() -> tuple:

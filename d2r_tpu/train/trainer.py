@@ -94,6 +94,11 @@ class Trainer(BaseTrainer):
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names,
                               topology_aware=getattr(cfg, "mesh_topology",
                                                      False))
+        if jax.process_count() > 1:
+            # connect cross-process collective cliques while ranks are still
+            # in lockstep — see parallel/distributed.py::warmup_collectives
+            from d2r_tpu.parallel.distributed import warmup_collectives
+            warmup_collectives(self.mesh)
         self._train_step = make_train_step(model)
         self._multi_steps = {}  # K -> jitted K-step scan program
         self._accum_steps = {}  # K -> jitted K-microbatch accumulation step
