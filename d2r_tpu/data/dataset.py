@@ -190,8 +190,8 @@ class DataLoader:
                                  f"size {count}")
             if batch_size % count != 0:
                 raise ValueError(
-                    f"global batch size {batch_size} must divide the "
-                    f"process count {count} (static per-host shapes)")
+                    f"global batch size {batch_size} must be divisible by "
+                    f"the process count {count} (static per-host shapes)")
         self.process_shard = process_shard
 
     def __len__(self) -> int:

@@ -36,8 +36,12 @@ def _ensure_lib():
         if _lib is not None or _build_failed:
             return _lib
         try:
+            # A prebuilt .so with no C source beside it is valid (deployed
+            # artifact) — only rebuild when the source EXISTS and is newer.
             if (not os.path.exists(_LIB_PATH)
-                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+                    or (os.path.exists(_SRC_PATH)
+                        and os.path.getmtime(_LIB_PATH)
+                        < os.path.getmtime(_SRC_PATH))):
                 subprocess.run(
                     ["cc", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH,
                      _SRC_PATH],

@@ -162,6 +162,13 @@ class ExportedPredictor(Predictor):
         self._dir = artifact_dir
         self._pixel_dtype = jnp.dtype(manifest["pixel_dtype"])
 
+    def warmup(self, pixel_dtype=None) -> None:
+        """Deserialize+compile every bucket. Defaults to the artifact's own
+        pixel dtype (the manifest pins it) — the inherited float32 default
+        would trip ``_fn``'s dtype guard on a uint8 artifact."""
+        super().warmup(pixel_dtype=pixel_dtype if pixel_dtype is not None
+                       else self._pixel_dtype)
+
     def _fn(self, b: int, l: int):
         key = (b, l)
         if key not in self._fns:

@@ -184,7 +184,7 @@ def local_batch_size(global_batch_size: int) -> int:
     n = jax.process_count()
     if global_batch_size % n != 0:
         raise ValueError(
-            f"global batch size {global_batch_size} must divide the "
-            f"process count {n}: every process materialises an identical "
-            f"static-shape slice")
+            f"global batch size {global_batch_size} must be divisible by "
+            f"the process count {n}: every process materialises an "
+            f"identical static-shape slice")
     return global_batch_size // n

@@ -209,16 +209,25 @@ def _make_handler(service: InferenceService):
             if self.path != "/predict":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
+            # Client errors (bad JSON, bad base64, wrong types) -> 400 so
+            # retry policies / load balancers don't re-send the unfixable.
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 text = req.get("text")
                 if not isinstance(text, str):
                     self._json(400, {"error": "'text' (string) is required"})
                     return
                 image_bytes = None
                 if req.get("image_b64"):
-                    image_bytes = base64.b64decode(req["image_b64"])
+                    image_bytes = base64.b64decode(req["image_b64"],
+                                                   validate=True)
+            except Exception as e:  # noqa: BLE001 — malformed request
+                self._json(400, {"error": f"bad request: {repr(e)[:400]}"})
+                return
+            try:
                 result = service.predict_one(text, image_bytes)
                 self._json(200, result)
             except Exception as e:  # noqa: BLE001 — serving must not die

@@ -263,8 +263,11 @@ class Trainer(BaseTrainer):
                     self.evaluate(epoch)
 
             elapsed = time.time() - t_start
+            # `seen` counts THIS process's batch slice; scale to the global
+            # rate on pods (exact up to the one wrap-padded batch per epoch,
+            # whose valid rows may split unevenly across ranks).
             self.logger.info("training throughput: %.2f samples/sec",
-                             seen / max(elapsed, 1e-9))
+                             seen * jax.process_count() / max(elapsed, 1e-9))
 
             if cfg.profile_dir and not profile_state["wrote"]:
                 # The trace targets the SECOND dispatch (the first includes

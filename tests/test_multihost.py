@@ -16,11 +16,8 @@ Fast unit tests cover the DataLoader process_shard contract without any
 distributed runtime.
 """
 
-import json
 import os
-import socket
 import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -59,7 +56,7 @@ def test_process_shard_slices_are_disjoint_and_complete(tmp_path):
 
 
 def test_process_shard_validation(tmp_path):
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         _make_loader(tmp_path, batch_size=5, process_shard=(0, 2))
     with pytest.raises(ValueError, match="rank"):
         _make_loader(tmp_path, batch_size=4, process_shard=(2, 2))
@@ -74,25 +71,8 @@ def test_local_batch_size_divisibility():
 # 2-process end-to-end CLI drive
 # --------------------------------------------------------------------------
 
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
-def _cli_cmd(paths, out_dir, extra):
-    return [sys.executable, os.path.join(REPO, "run.py"),
-            "--device", "cpu", "--bert_name", "tiny-bert",
-            "--vit_name", "tiny-vit", "--embed_size", "64",
-            "--num_head_IMRC", "4", "--hid_IMRC", "64", "--hid_router", "32",
-            "--max_seq", "16", "--batch_size", "8", "--num_epochs", "1",
-            "--lr", "3e-4", "--compute_dtype", "float32", "--no_pallas",
-            "--num_workers", "2",
-            "--train_json", paths["train"], "--dev_json", paths["dev"],
-            "--test_json", paths["test"], "--img_dir", paths["img_dir"],
-            "--save_path", out_dir] + extra
+# launch pieces shared with the operator tool (tools/multihost_smoke.py)
+from d2r_tpu.parallel.launch import cpu_rank_env, free_port, tiny_train_cmd
 
 
 def _final_test_loss(stdout: str) -> float:
@@ -109,18 +89,14 @@ def _final_test_loss(stdout: str) -> float:
 def test_two_process_training_matches_single(tmp_path):
     from d2r_tpu.data.dataset import write_fake_dataset
     paths = write_fake_dataset(str(tmp_path / "ds"), n=12, image_size=224)
-    port = _free_port()
-
-    env = dict(os.environ,
-               XLA_FLAGS="--xla_force_host_platform_device_count=4",
-               PYTHONPATH=REPO)
-    env.pop("JAX_PLATFORMS", None)  # --device cpu pins the platform
+    port = free_port()
+    env = cpu_rank_env(4)
 
     procs = []
     shared_out = str(tmp_path / "out_multi")  # orbax multihost saves
     for rank in range(2):                     # coordinate on ONE directory
         out = shared_out
-        cmd = _cli_cmd(paths, out, [
+        cmd = tiny_train_cmd(paths, out, extra=[
             "--coordinator_address", f"127.0.0.1:{port}",
             "--num_processes", "2", "--process_id", str(rank)])
         procs.append(subprocess.Popen(
@@ -137,7 +113,7 @@ def test_two_process_training_matches_single(tmp_path):
     # single-process oracle on the identical dataset/config (1 device —
     # dp exactness across device counts is proven in test_dp_semantics)
     oracle = subprocess.run(
-        _cli_cmd(paths, str(tmp_path / "out_single"), []),
+        tiny_train_cmd(paths, str(tmp_path / "out_single")),
         env=dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=1"),
         cwd=REPO, text=True, capture_output=True, timeout=1500)
     assert oracle.returncode == 0, oracle.stdout[-4000:] + oracle.stderr[-2000:]

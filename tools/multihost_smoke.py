@@ -3,10 +3,11 @@ the FULL training CLI through the jax.distributed runtime.
 
 The reference is single-process (SURVEY.md section 2.9); this build scales
 out one process per host (parallel/distributed.py). This tool is the
-operator-facing version of tests/test_multihost.py: it fabricates a tiny
-dataset, picks a free coordinator port, launches ``--num_processes`` copies
-of ``run.py`` (each with ``--local_devices`` virtual CPU chips), and checks
-that every rank exits 0 and rank 0 reports a finite test loss.
+operator-facing version of tests/test_multihost.py (both share the launch
+helpers in d2r_tpu/parallel/launch.py): it fabricates a tiny dataset, picks
+a free coordinator port, launches ``--num_processes`` copies of ``run.py``
+(each with ``--local_devices`` virtual CPU chips), and checks that every
+rank exits 0 and rank 0 reports a finite test loss.
 
 Usage (CPU, any machine):
 
@@ -20,20 +21,14 @@ from __future__ import annotations
 
 import argparse
 import os
-import socket
 import subprocess
 import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+from d2r_tpu.parallel.launch import cpu_rank_env, free_port, tiny_train_cmd
 
 
 def main(argv=None) -> int:
@@ -42,7 +37,8 @@ def main(argv=None) -> int:
     ap.add_argument("--local_devices", type=int, default=4,
                     help="virtual CPU devices per process")
     ap.add_argument("--batch_size", type=int, default=8,
-                    help="GLOBAL batch size (must divide num_processes)")
+                    help="GLOBAL batch size (must be divisible by "
+                         "num_processes)")
     ap.add_argument("--mesh_model", type=int, default=1,
                     help=">1 = tensor-parallel axis (dp x tp across the "
                          "process boundary, exercises per-axis warmup)")
@@ -50,31 +46,16 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     tmp = tempfile.mkdtemp(prefix="d2r_multihost_smoke_")
-    sys.path.insert(0, REPO)
     from d2r_tpu.data.dataset import write_fake_dataset
     paths = write_fake_dataset(os.path.join(tmp, "ds"), n=12, image_size=224)
-    port = _free_port()
+    port = free_port()
+    env = cpu_rank_env(args.local_devices)
 
-    env = dict(
-        os.environ,
-        XLA_FLAGS=f"--xla_force_host_platform_device_count={args.local_devices}",
-        PYTHONPATH=REPO)
-    env.pop("JAX_PLATFORMS", None)  # --device cpu pins the platform
-
-    cmd_base = [
-        sys.executable, os.path.join(REPO, "run.py"),
-        "--device", "cpu", "--bert_name", "tiny-bert", "--vit_name",
-        "tiny-vit", "--embed_size", "64", "--num_head_IMRC", "4",
-        "--hid_IMRC", "64", "--hid_router", "32", "--max_seq", "16",
-        "--batch_size", str(args.batch_size), "--num_epochs", "1",
-        "--lr", "3e-4", "--compute_dtype", "float32", "--no_pallas",
-        "--num_workers", "2",
-        "--train_json", paths["train"], "--dev_json", paths["dev"],
-        "--test_json", paths["test"], "--img_dir", paths["img_dir"],
-        "--save_path", os.path.join(tmp, "out"),
-        "--mesh_model", str(args.mesh_model),
-        "--coordinator_address", f"127.0.0.1:{port}",
-        "--num_processes", str(args.num_processes)]
+    cmd_base = tiny_train_cmd(
+        paths, os.path.join(tmp, "out"), batch_size=args.batch_size,
+        extra=["--mesh_model", str(args.mesh_model),
+               "--coordinator_address", f"127.0.0.1:{port}",
+               "--num_processes", str(args.num_processes)])
 
     procs = [subprocess.Popen(cmd_base + ["--process_id", str(rank)],
                               env=env, cwd=REPO, text=True,

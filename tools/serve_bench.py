@@ -58,7 +58,10 @@ def main():
 
     pred = Predictor(cfg, variables, batch_buckets=buckets,
                      seq_buckets=(args.max_seq,), quantize=args.quantize)
-    pred.warmup()
+    # warmup must stage the dtype the measured requests will carry — a
+    # float32 warmup before uint8 requests compiles every bucket twice
+    pred.warmup(pixel_dtype=jnp.uint8 if args.pixel == "uint8"
+                else jnp.float32)
 
     results = {}
     for b in buckets:
