@@ -78,6 +78,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="data-parallel axis size (-1 = all devices)")
     p.add_argument("--mesh_model", default=1, type=int,
                    help="tensor-parallel axis size")
+    p.add_argument("--mesh_stage", default=1, type=int,
+                   help="pipeline-parallel axis size: run each tower's "
+                        "layer stack as a mesh_stage-deep GPipe pipeline "
+                        "(models/pipeline.py); must divide the tower depth")
+    p.add_argument("--pipeline_microbatches", default=0, type=int,
+                   help="microbatches per batch for --mesh_stage pipelines "
+                        "(0 = stages; bubble = (S-1)/(M+S-1))")
     p.add_argument("--mesh_topology", action="store_true",
                    help="order mesh axes along the physical ICI torus "
                         "(jax mesh_utils; recommended on pod slices)")
@@ -123,6 +130,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "'model' mesh axis, run tower LN/dropout/residual "
                         "segments seq-sharded (reduce-scatter+all-gather "
                         "instead of all-reduce; identical math)")
+    p.add_argument("--fabric_shard", action="store_true",
+                   help="under a >1 'model' axis, respread the routing "
+                        "fabric's batch over (data x model) so tp devices "
+                        "share fabric work instead of replicating it "
+                        "(identical math)")
     p.add_argument("--pixel_transfer", default="uint8",
                    choices=["uint8", "float32"],
                    help="image host->device format: uint8 ships raw resized "
@@ -158,9 +170,16 @@ def dataset_paths(args) -> Dict[str, str]:
 
 
 def config_from_args(args) -> D2RConfig:
-    mesh_shape = (args.mesh_data,) if args.mesh_model == 1 else (
-        args.mesh_data, args.mesh_model)
-    axis_names = ("data",) if args.mesh_model == 1 else ("data", "model")
+    # mesh axes in ("data", "stage", "model") order, dropping size-1 axes —
+    # dp always present; pp shards pipeline stages; tp shards tower matmuls
+    mesh_shape, axis_names = [args.mesh_data], ["data"]
+    if args.mesh_stage > 1:
+        mesh_shape.append(args.mesh_stage)
+        axis_names.append("stage")
+    if args.mesh_model > 1:
+        mesh_shape.append(args.mesh_model)
+        axis_names.append("model")
+    mesh_shape, axis_names = tuple(mesh_shape), tuple(axis_names)
     if args.num_classes is not None:
         num_classes = args.num_classes
     else:
@@ -201,6 +220,9 @@ def config_from_args(args) -> D2RConfig:
         pixel_transfer=args.pixel_transfer,
         scan_layers=args.scan_layers,
         seq_shard=args.seq_shard,
+        fabric_shard=args.fabric_shard,
+        pipeline_stages=args.mesh_stage,
+        pipeline_microbatches=args.pipeline_microbatches,
         mesh_topology=args.mesh_topology,
     )
 

@@ -252,6 +252,24 @@ class D2RConfig:
     # compile-bound iteration loops. Weight trees restack via
     # utils/weights.py stack_tower_layers.
     scan_layers: bool = False
+    # Fabric work-sharing under tensor parallelism: respread the routing
+    # fabric's BATCH over the combined (data, model) axes so tp devices
+    # share the (otherwise model-axis-replicated) 6-cell compute — the
+    # work-sharing an expert axis would buy a MoE, without faking expert
+    # dispatch on a dense-soft router (docs/DESIGN.md "Parallelism").
+    # Identical math (tests/test_tp_semantics.py); no-op without tp.
+    fabric_shard: bool = False
+    # Pipeline parallelism (models/pipeline.py): run each tower's layer
+    # stack as a GPipe pipeline over a 'stage' mesh axis — stage weights and
+    # the (stages, microbatch, ...) state buffer shard on 'stage', the
+    # inter-stage hop is a jnp.roll GSPMD lowers to a collective-permute.
+    # Requires num_hidden_layers % stages == 0. 1 = off. Deterministic math
+    # identical to the sequential stack (tests/test_pipeline.py); training
+    # dropout draws per (tick, stage) instead of per layer.
+    pipeline_stages: int = 1
+    # microbatches per batch for the pipeline (bubble fraction is
+    # (S-1)/(M+S-1): pick >= 2*stages when memory allows). 0 = stages.
+    pipeline_microbatches: int = 0
     # Recompute (instead of save) the 4x-wide post-GELU FFN activations in
     # backward — surgical remat via checkpoint_name('ffn_act') tags; the
     # whole-model remat knob above trades too much recompute (581/s measured)

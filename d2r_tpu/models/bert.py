@@ -167,12 +167,30 @@ class BertEncoder(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     seq_shard: bool = False
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
 
     @nn.compact
     def __call__(self, x, key_bias=None, deterministic: bool = True):
         if self.seq_shard:
             from d2r_tpu.parallel.mesh import seq_sharding_constraint
             x = seq_sharding_constraint(x)
+        if self.pipeline_stages > 1:
+            # pipeline parallelism (models/pipeline.py): same per-layer body
+            # as scan_layers, staged over the 'stage' mesh axis. seq_shard
+            # stays outside the pipeline (the tick applies stage+data
+            # constraints; a per-slot seq constraint inside nn.vmap would
+            # see the wrong rank).
+            from d2r_tpu.models.pipeline import PipelinedStack
+            body = _ScanBertBody
+            if self.remat:
+                body = nn.remat(_ScanBertBody, static_argnums=(3,))
+            return PipelinedStack(
+                body, (self.cfg, self.dtype, self.use_pallas, False),
+                self.cfg.num_hidden_layers, self.pipeline_stages,
+                self.pipeline_microbatches or self.pipeline_stages,
+                has_bias=True, name="layers_pipelined")(
+                x, key_bias, deterministic)
         if self.scan_layers:
             # remat composes with scan: rematerialise each scan-body step
             # (previously remat was silently ignored under scan_layers).

@@ -69,11 +69,14 @@ class D2RModel(nn.Module):
         # --- dual towers, sequential and independent (ref: :649-729) ---
         scan = getattr(c, "scan_layers", False)
         sp = getattr(c, "seq_shard", False)
+        pp = getattr(c, "pipeline_stages", 1)
+        pp_mb = getattr(c, "pipeline_microbatches", 0)
         vision_out = CLIPVisionEncoder(vc, dtype, c.use_pallas, c.remat, scan,
-                                       sp, name="encoder_vision_layers")(
+                                       sp, pp, pp_mb,
+                                       name="encoder_vision_layers")(
             vision_emb, deterministic)
         text_out = BertEncoder(tc, dtype, c.use_pallas, c.remat, scan, sp,
-                               name="encoder_text_layers")(
+                               pp, pp_mb, name="encoder_text_layers")(
             text_emb, key_bias, deterministic)
 
         # --- optional SenticNet affective-graph refinement (extension; the
@@ -99,12 +102,23 @@ class D2RModel(nn.Module):
         # `valid` also reaches GLAC's SAF BatchNorm so train-mode statistics
         # on wrap-padded final batches match the reference's ragged batch
         # exactly (docs/PARITY.md item 3).
+        fab_text, fab_vision = text_out, vision_out
+        if getattr(c, "fabric_shard", False):
+            # work-share the fabric over (data x model): tp devices take
+            # disjoint batch slices of the dense 6-cell compute instead of
+            # replicating it (parallel/mesh.py fabric_batch_constraint)
+            from d2r_tpu.parallel.mesh import fabric_batch_constraint
+            fab_text = fabric_batch_constraint(text_out)
+            fab_vision = fabric_batch_constraint(vision_out)
         text_stream, sim_paths = InteractionModule(
             c, reversed_mode=False, dtype=dtype, name="itr_module")(
-            text_out, vision_out, use_running_average, valid)
+            fab_text, fab_vision, use_running_average, valid)
         vision_stream, rev_sim_paths = InteractionModule(
             c, reversed_mode=True, dtype=dtype, name="Reversed_itr_module")(
-            text_out, vision_out, use_running_average, valid)
+            fab_text, fab_vision, use_running_average, valid)
+        if getattr(c, "fabric_shard", False):
+            text_stream = fabric_batch_constraint(text_stream, undo=True)
+            vision_stream = fabric_batch_constraint(vision_stream, undo=True)
 
         # --- CLS Gram matrices + (negative) JS loss (ref: :845-849).
         # `valid` masks wrap-padded rows out of the Gram softmaxes + batchmean

@@ -156,12 +156,27 @@ class CLIPVisionEncoder(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     seq_shard: bool = False
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.seq_shard:
             from d2r_tpu.parallel.mesh import seq_sharding_constraint
             x = seq_sharding_constraint(x)
+        if self.pipeline_stages > 1:
+            # pipeline parallelism over the 'stage' mesh axis (see
+            # models/bert.py BertEncoder and models/pipeline.py)
+            from d2r_tpu.models.pipeline import PipelinedStack
+            body = _ScanCLIPBody
+            if self.remat:
+                body = nn.remat(_ScanCLIPBody, static_argnums=(2,))
+            return PipelinedStack(
+                body, (self.cfg, self.dtype, self.use_pallas, False),
+                self.cfg.num_hidden_layers, self.pipeline_stages,
+                self.pipeline_microbatches or self.pipeline_stages,
+                has_bias=False, name="layers_pipelined")(
+                x, None, deterministic)
         if self.scan_layers:
             body = _ScanCLIPBody
             if self.remat:

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"  # pipeline parallelism (models/pipeline.py)
 
 
 def make_mesh(
@@ -99,7 +100,20 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
-def param_partition_spec(path: str, has_model_axis: bool) -> P:
+def param_partition_spec(path: str, has_model_axis: bool,
+                         has_stage_axis: bool = False) -> P:
+    if "stages_pipelined" in path and has_stage_axis:
+        # pipelined towers (cfg.pipeline_stages, models/pipeline.py) carry
+        # TWO leading axes (stages, layers_per_stage, ...): shard stages over
+        # 'stage' — EVERY stage param, not just the tp-ruled matmuls — and
+        # compose with the tp rule on the trailing axes when present.
+        inner = P()
+        if has_model_axis:
+            for pattern, spec in _PARAM_RULES:
+                if re.search(pattern, path):
+                    inner = spec
+                    break
+        return P(STAGE_AXIS, None, *inner)
     if has_model_axis:
         for pattern, spec in _PARAM_RULES:
             if re.search(pattern, path):
@@ -127,6 +141,7 @@ def _path_str(key_path) -> str:
 def make_param_shardings(params, mesh: Mesh):
     """NamedSharding pytree matching ``params``."""
     has_model = MODEL_AXIS in mesh.axis_names and mesh.shape.get(MODEL_AXIS, 1) > 1
+    has_stage = STAGE_AXIS in mesh.axis_names and mesh.shape.get(STAGE_AXIS, 1) > 1
 
     def to_sharding(key_path, leaf):
         path = _path_str(key_path)
@@ -138,7 +153,7 @@ def make_param_shardings(params, mesh: Mesh):
         # matches no rule — same replicated result as before.
         if path.endswith("/q") or path.endswith("/scale"):
             path = path.rsplit("/", 1)[0]
-        spec = param_partition_spec(path, has_model)
+        spec = param_partition_spec(path, has_model, has_stage)
         if len(spec) > leaf.ndim:
             spec = P()
         # avoid uneven shards: fall back to replication when indivisible
@@ -176,6 +191,42 @@ def seq_sharding_constraint(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+
+
+def fabric_batch_constraint(x, undo: bool = False):
+    """Work-share the routing fabric over the WHOLE mesh (cfg.fabric_shard).
+
+    Under tensor parallelism the 6-cell fabric replicates across the model
+    axis (its params match no tp rule — they are small), which means tp
+    devices redo identical fabric work. D2R's routing is dense-soft (every
+    cell on every sample, ref: models/DynamicInteraction.py:56-67), so the
+    MoE-style answer — an expert axis — has no sparsity to exploit; the
+    right TPU answer is to respread the BATCH over the combined
+    (data, model) axes for the fabric segment: ``P(('data','model'))`` on
+    the leading batch dim. Identical math (sharding is layout), 1/tp the
+    fabric compute per device. ``undo=True`` pins back to plain data
+    sharding at fabric exit so downstream batch-global Grams/poolers keep
+    their measured layouts.
+
+    No-op outside a mesh, without a >1 model axis, or when batch doesn't
+    divide dp*tp — always safe, like :func:`seq_sharding_constraint`.
+    """
+    try:
+        from jax._src.mesh import thread_resources
+    except ImportError:  # older jax: public (now-deprecated) alias
+        from jax.interpreters.pxla import thread_resources
+
+    mesh = thread_resources.env.physical_mesh
+    if (mesh.empty or MODEL_AXIS not in mesh.axis_names
+            or DATA_AXIS not in mesh.axis_names):
+        return x
+    if mesh.shape[MODEL_AXIS] <= 1 or x.ndim < 1:
+        return x
+    total = mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS]
+    if x.shape[0] % total != 0:
+        return x
+    spec = P(DATA_AXIS) if undo else P((DATA_AXIS, MODEL_AXIS))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def _data_axis_size(mesh: Mesh) -> int:

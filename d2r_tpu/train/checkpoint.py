@@ -57,10 +57,11 @@ def restore_variables(path: str) -> Dict[str, Any]:
 GEOMETRY_FIELDS = ("bert_name", "vit_name", "embed_size", "num_head_IMRC",
                    "hid_IMRC", "hid_router", "num_cells", "path_hid",
                    "num_classes", "DR_step", "use_sentic_graph",
-                   # scan_layers restacks the tower params under a scanned
-                   # collection with a stacked leading axis — same weights,
-                   # different TREE, so it is geometry for restore purposes.
-                   "scan_layers")
+                   # scan_layers/pipeline_stages relayout the tower params
+                   # (stacked (N,...) scan axis / (S, N/S, ...) pipeline
+                   # axes) — same weights, different TREE, so both are
+                   # geometry for restore purposes.
+                   "scan_layers", "pipeline_stages")
 
 
 def check_checkpoint_geometry(load_path: str, cfg) -> Optional[str]:

@@ -182,6 +182,16 @@ def load_pretrained_params(pretrained_dir: str, cfg, params_template):
     bert_sd = _load_torch_file(os.path.join(pretrained_dir, "bert.pt"))
     clip_sd = _load_torch_file(os.path.join(pretrained_dir, "clip_vit.pt"))
     tc, vc = cfg.text_config(), cfg.vision_config()
+    stages = getattr(cfg, "pipeline_stages", 1)
+    if stages > 1:
+        # pipelined templates hold (S, N/S, ...) tower params: convert
+        # against the per-layer view, then relayout for the pipeline
+        expanded = unstack_tower_layers(
+            unpipeline_tower_layers(params_template))
+        converted = convert_pretrained(expanded, bert_sd, clip_sd,
+                                       tc.num_hidden_layers,
+                                       vc.num_hidden_layers)
+        return pipeline_tower_layers(converted, stages)
     if getattr(cfg, "scan_layers", False):
         # scanned templates hold stacked (N, ...) tower params: convert
         # against the unstacked view, then restack
@@ -250,6 +260,77 @@ def unstack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
             out[key] = unstack_tower(sub)
         elif isinstance(sub, dict):
             out[key] = unstack_tower_layers(sub)
+        else:
+            out[key] = sub
+    return out
+
+
+def pipeline_tower_layers(params: Dict[str, Any],
+                          stages: int) -> Dict[str, Any]:
+    """Unscanned OR scanned param tree -> cfg.pipeline_stages tree.
+
+    The pipelined towers (models/pipeline.py) keep their weights under
+    ``layers_pipelined/pipeline/stages_pipelined/layers/layer`` with TWO
+    leading axes (stages, layers_per_stage, ...) — the scanned (N, ...)
+    stack reshaped, since stage s owns layers [s*N/S, (s+1)*N/S). Layer
+    order and values are untouched (tests/test_pipeline.py pins bit-equal
+    forwards), so any converted/trained checkpoint can be re-deployed
+    pipelined."""
+    import jax
+
+    def pipe_tower(tower: Dict[str, Any]) -> Dict[str, Any]:
+        if "layers_scanned" not in tower:
+            return tower
+        stacked = tower["layers_scanned"]["layer"]
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        if n % stages != 0:
+            raise ValueError(f"pipeline stages {stages} must divide the "
+                             f"tower depth {n}")
+        reshaped = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).reshape(
+                (stages, n // stages) + np.shape(x)[1:]), stacked)
+        out = {"layers_pipelined": {"pipeline": {"stages_pipelined": {
+            "layers": {"layer": reshaped}}}}}
+        out.update({k: v for k, v in tower.items() if k != "layers_scanned"})
+        return out
+
+    scanned = stack_tower_layers(params)  # idempotent on scanned trees
+    out = {}
+    for key, sub in scanned.items():
+        if key in ("encoder_text_layers", "encoder_vision_layers"):
+            out[key] = pipe_tower(sub)
+        elif isinstance(sub, dict):
+            out[key] = pipeline_tower_layers(sub, stages)
+        else:
+            out[key] = sub
+    return out
+
+
+def unpipeline_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`pipeline_tower_layers`: (S, N/S, ...) pipelined
+    tower params back to the scanned (N, ...) layout (pure reshape)."""
+    import jax
+
+    def unpipe_tower(tower: Dict[str, Any]) -> Dict[str, Any]:
+        if "layers_pipelined" not in tower:
+            return tower
+        stacked = tower["layers_pipelined"]["pipeline"]["stages_pipelined"][
+            "layers"]["layer"]
+        merged = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).reshape(
+                (np.shape(x)[0] * np.shape(x)[1],) + np.shape(x)[2:]),
+            stacked)
+        out = {"layers_scanned": {"layer": merged}}
+        out.update({k: v for k, v in tower.items()
+                    if k != "layers_pipelined"})
+        return out
+
+    out = {}
+    for key, sub in params.items():
+        if key in ("encoder_text_layers", "encoder_vision_layers"):
+            out[key] = unpipe_tower(sub)
+        elif isinstance(sub, dict):
+            out[key] = unpipeline_tower_layers(sub)
         else:
             out[key] = sub
     return out

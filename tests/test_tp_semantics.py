@@ -230,3 +230,63 @@ def test_scan_layers_tp_matches_replicated(eight_devices):
         l2, g2 = fwd(dict(variables, params=params), shard_batch(inputs, mesh))
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4)])
+def test_fabric_shard_loss_logits_match_replicated(eight_devices, mesh_shape):
+    """cfg.fabric_shard is a pure layout hint: respreading the routing
+    fabric's batch over (data x model) must reproduce the unannotated
+    single-device math exactly (train mode, so GLAC's batch statistics —
+    computed from the resharded batch — are covered too)."""
+    cfg = tiny_test_config(batch_size=8, fabric_shard=True)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(8, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=5)
+    inputs = {k: jnp.asarray(v) for k, v in _model_inputs(batch).items()}
+    variables = jax.jit(model.init)(jax.random.key(0), **inputs)
+
+    @jax.jit
+    def train_mode_forward(variables, inputs):
+        (loss, logits, aux), mutated = model.apply(
+            variables, **inputs, deterministic=True,
+            use_running_average=False, mutable=["batch_stats"])
+        return loss, logits, aux["js_loss"], mutated["batch_stats"]
+
+    # no mesh: fabric_batch_constraint no-ops -> plain single-device math
+    l1, g1, js1, bs1 = train_mode_forward(variables, inputs)
+
+    mesh = make_mesh(mesh_shape, ("data", "model"))
+    shardings = make_param_shardings(variables["params"], mesh)
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"],
+                                    shardings)
+    with mesh:
+        l2, g2, js2, bs2 = train_mode_forward(
+            dict(variables, params=params), shard_batch(inputs, mesh))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    np.testing.assert_allclose(float(js1), float(js2), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs1),
+                    jax.tree_util.tree_leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5)
+
+
+def test_fabric_batch_constraint_applies_and_noops(eight_devices):
+    """Under dp x tp the helper pins the leading batch dim to
+    P(('data','model')); outside a mesh (or with an indivisible batch) it
+    is the identity."""
+    from d2r_tpu.parallel.mesh import fabric_batch_constraint
+
+    x = jnp.ones((8, 16, 32))
+    assert fabric_batch_constraint(x) is x  # no mesh context
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    with mesh:
+        y = jax.jit(fabric_batch_constraint)(x)
+        assert y.sharding.spec == P(("data", "model"))
+        z = jax.jit(lambda a: fabric_batch_constraint(a, undo=True))(x)
+        assert z.sharding.spec == P("data")
+        # batch 6 % (2*4) != 0: no-op rather than an uneven-shard error
+        ragged = jnp.ones((6, 16, 32))
+        assert fabric_batch_constraint(ragged) is ragged
