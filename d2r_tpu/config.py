@@ -40,6 +40,13 @@ class TextEncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # "absolute": position ids are arange(L) (BERT; ref HF BertEmbeddings).
+    # "roberta": HF RoBERTa semantics — rows 0..pad_token_id are reserved,
+    # non-pad token i gets row pad_token_id + 1 + i and pad slots get the
+    # pad_token_id row (HF create_position_ids_from_input_ids). Loading a
+    # real roberta checkpoint with "absolute" would silently read the two
+    # reserved rows as content positions.
+    position_style: str = "absolute"
 
     @property
     def head_dim(self) -> int:
@@ -96,6 +103,7 @@ def roberta_large_config() -> TextEncoderConfig:
         type_vocab_size=1,
         layer_norm_eps=1e-5,
         pad_token_id=1,
+        position_style="roberta",
     )
 
 

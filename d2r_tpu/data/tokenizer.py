@@ -242,15 +242,26 @@ def load_tokenizer(bert_name: str, vocab_size: int = 30522,
     The fallback keeps pipelines runnable with zero downloaded assets, but it
     destroys accuracy parity — so it is LOUD (one warning) and can be refused
     outright with ``allow_hash_fallback=False`` (accuracy-parity runs, see
-    tools/run_real_assets.py)."""
+    tools/run_real_assets.py).
+
+    Resolution order: ``vocab.txt`` -> WordPiece (BERT family, what the
+    reference uses, ref: processor/dataset.py:20); ``vocab.json`` +
+    ``merges.txt`` -> byte-level BPE (RoBERTa family, BASELINE config 4);
+    else the hash fallback."""
     tok = BertTokenizer.from_pretrained_dir(bert_name)
     if tok is not None:
         return tok
+    if os.path.isdir(bert_name):
+        from d2r_tpu.data.bpe import RobertaBPETokenizer
+        bpe = RobertaBPETokenizer.from_pretrained_dir(bert_name)
+        if bpe is not None:
+            return bpe
     if not allow_hash_fallback:
         raise FileNotFoundError(
-            f"no vocab.txt found for {bert_name!r} and the hash-tokenizer "
-            f"fallback is disabled for this run (accuracy-parity mode). "
-            f"Point --bert_name at a directory containing vocab.txt.")
+            f"no vocab.txt (WordPiece) or vocab.json+merges.txt (BPE) found "
+            f"for {bert_name!r} and the hash-tokenizer fallback is disabled "
+            f"for this run (accuracy-parity mode). Point --bert_name at a "
+            f"directory containing the tokenizer assets.")
     import logging
     logging.getLogger(__name__).warning(
         "no vocab.txt found for %r — using the DETERMINISTIC HASH tokenizer "

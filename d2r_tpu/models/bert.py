@@ -37,14 +37,34 @@ class BertEmbeddings(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, token_type_ids, deterministic: bool = True):
+    def __call__(self, input_ids, token_type_ids, deterministic: bool = True,
+                 attention_mask=None):
         c = self.cfg
         seq_len = input_ids.shape[1]
+        if c.position_style == "roberta":
+            # HF RoBERTa create_position_ids_from_input_ids: non-pad token
+            # i (1-based cumsum over the mask) -> row pad_token_id + i; pad
+            # slots -> the pad_token_id row. Pad-slot fidelity matters here
+            # because the Router mean-pools over PADDED tokens (parity
+            # quirk, ref: models/Router.py:23) so pad embeddings reach the
+            # routing gates.
+            if attention_mask is None:
+                raise ValueError(
+                    "position_style='roberta' needs the attention mask to "
+                    "derive position ids")
+            mask = attention_mask.astype(jnp.int32)
+            position_ids = jnp.cumsum(mask, axis=1) * mask + c.pad_token_id
+        elif c.position_style == "absolute":
+            position_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+        else:
+            raise ValueError(
+                f"unknown position_style {c.position_style!r}; "
+                "known: 'absolute', 'roberta'")
         words = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings",
                          dtype=self.dtype)(input_ids)
         positions = nn.Embed(c.max_position_embeddings, c.hidden_size,
                              name="position_embeddings", dtype=self.dtype)(
-            jnp.arange(seq_len, dtype=jnp.int32)[None, :])
+            position_ids)
         token_types = nn.Embed(c.type_vocab_size, c.hidden_size,
                                name="token_type_embeddings", dtype=self.dtype)(token_type_ids)
         x = words + token_types + positions

@@ -64,7 +64,8 @@ class D2RModel(nn.Module):
         # --- text pre (ref: :812-816) ---
         key_bias = padding_key_bias(attention_mask)
         text_emb = BertEmbeddings(tc, dtype, name="text_embeddings")(
-            input_ids, token_type_ids, deterministic)
+            input_ids, token_type_ids, deterministic,
+            attention_mask=attention_mask)
 
         # --- dual towers, sequential and independent (ref: :649-729) ---
         scan = getattr(c, "scan_layers", False)

@@ -178,6 +178,12 @@ def load_pretrained_params(pretrained_dir: str, cfg, params_template):
         torch.save(BertModel.from_pretrained(name).state_dict(), 'bert.pt')
         torch.save(CLIPModel.from_pretrained(name).vision_model.state_dict(),
                    'clip_vit.pt')
+
+    RoBERTa checkpoints (BASELINE config 4) go through the same path:
+    ``RobertaModel.state_dict()`` is key-compatible with ``bert_mapping``
+    (parity vs live HF: tests/parity/test_roberta_parity.py); set
+    ``position_style='roberta'`` in the text config so the reserved
+    position rows are honored.
     """
     bert_sd = _load_torch_file(os.path.join(pretrained_dir, "bert.pt"))
     clip_sd = _load_torch_file(os.path.join(pretrained_dir, "clip_vit.pt"))
