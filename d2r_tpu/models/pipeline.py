@@ -49,7 +49,7 @@ from typing import Any, Tuple, Type
 import flax.linen as nn
 import jax.numpy as jnp
 
-STAGE_AXIS = "stage"
+from d2r_tpu.parallel.mesh import STAGE_AXIS, current_mesh
 
 
 def stage_sharding_constraint(x):
@@ -60,13 +60,8 @@ def stage_sharding_constraint(x):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    try:
-        from jax._src.mesh import thread_resources
-    except ImportError:  # older jax: public (now-deprecated) alias
-        from jax.interpreters.pxla import thread_resources
-
-    mesh = thread_resources.env.physical_mesh
-    if mesh.empty or STAGE_AXIS not in mesh.axis_names:
+    mesh = current_mesh()
+    if mesh is None or STAGE_AXIS not in mesh.axis_names:
         return x
     if x.shape[0] % mesh.shape[STAGE_AXIS] != 0:
         return x
@@ -165,9 +160,10 @@ class PipelinedStack(nn.Module):
             raise ValueError(
                 f"pipeline_stages={S} must divide num_layers="
                 f"{self.num_layers}")
-        if x.shape[0] % M != 0:
+        if M < 1 or x.shape[0] % M != 0:
             raise ValueError(
-                f"pipeline_microbatches={M} must divide batch={x.shape[0]}")
+                f"pipeline_microbatches={M} must be >= 1 and divide "
+                f"batch={x.shape[0]}")
         mb = x.shape[0] // M
         if self.has_bias and bias is None:
             raise ValueError("has_bias=True pipeline requires a per-sample "

@@ -100,20 +100,39 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
+def current_mesh():
+    """The physical mesh of the surrounding ``with mesh:`` context, or None.
+
+    One shared home for the jax-version-sensitive thread_resources lookup
+    used by every activation sharding-constraint helper (seq/fabric/stage).
+    """
+    try:
+        from jax._src.mesh import thread_resources
+    except ImportError:  # older jax: public (now-deprecated) alias
+        from jax.interpreters.pxla import thread_resources
+
+    mesh = thread_resources.env.physical_mesh
+    return None if mesh.empty else mesh
+
+
 def param_partition_spec(path: str, has_model_axis: bool,
                          has_stage_axis: bool = False) -> P:
-    if "stages_pipelined" in path and has_stage_axis:
+    if "stages_pipelined" in path:
         # pipelined towers (cfg.pipeline_stages, models/pipeline.py) carry
-        # TWO leading axes (stages, layers_per_stage, ...): shard stages over
-        # 'stage' — EVERY stage param, not just the tp-ruled matmuls — and
-        # compose with the tp rule on the trailing axes when present.
+        # TWO leading axes (stages, layers_per_stage, ...) REGARDLESS of the
+        # surrounding mesh: shard stages over 'stage' when that axis exists
+        # — EVERY stage param, not just the tp-ruled matmuls — and compose
+        # with the tp rule shifted past the two leading axes when present
+        # (a stage-less mesh, e.g. serving a pipelined checkpoint on
+        # ('data','model'), must still not let a tp rule land on a leading
+        # stack axis).
         inner = P()
         if has_model_axis:
             for pattern, spec in _PARAM_RULES:
                 if re.search(pattern, path):
                     inner = spec
                     break
-        return P(STAGE_AXIS, None, *inner)
+        return P(STAGE_AXIS if has_stage_axis else None, None, *inner)
     if has_model_axis:
         for pattern, spec in _PARAM_RULES:
             if re.search(pattern, path):
@@ -178,13 +197,8 @@ def seq_sharding_constraint(x):
     'model' axis, or when the seq dim does not divide the tp degree (e.g. the
     50 ragged vision tokens on tp=4) — so the flag is safe to leave on.
     """
-    try:
-        from jax._src.mesh import thread_resources
-    except ImportError:  # older jax: public (now-deprecated) alias
-        from jax.interpreters.pxla import thread_resources
-
-    mesh = thread_resources.env.physical_mesh
-    if mesh.empty or MODEL_AXIS not in mesh.axis_names:
+    mesh = current_mesh()
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return x
     tp = mesh.shape[MODEL_AXIS]
     if tp <= 1 or x.ndim < 3 or x.shape[1] % tp != 0:
@@ -211,13 +225,8 @@ def fabric_batch_constraint(x, undo: bool = False):
     No-op outside a mesh, without a >1 model axis, or when batch doesn't
     divide dp*tp — always safe, like :func:`seq_sharding_constraint`.
     """
-    try:
-        from jax._src.mesh import thread_resources
-    except ImportError:  # older jax: public (now-deprecated) alias
-        from jax.interpreters.pxla import thread_resources
-
-    mesh = thread_resources.env.physical_mesh
-    if (mesh.empty or MODEL_AXIS not in mesh.axis_names
+    mesh = current_mesh()
+    if (mesh is None or MODEL_AXIS not in mesh.axis_names
             or DATA_AXIS not in mesh.axis_names):
         return x
     if mesh.shape[MODEL_AXIS] <= 1 or x.ndim < 1:

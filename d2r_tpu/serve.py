@@ -38,6 +38,21 @@ class Predictor:
         mesh=None,
         quantize: Optional[str] = None,
     ):
+        if getattr(cfg, "pipeline_stages", 1) > 1:
+            # Pipeline parallelism is a TRAINING layout: the stage-sharded
+            # (S, N/S, ...) tower stacks want a 'stage' mesh axis and
+            # microbatch-divisible batches — the bucketed serving path has
+            # neither (batch bucket 1 can never divide microbatches>1).
+            # Relayout to the scanned (N, ...) stack — a pure reshape,
+            # bit-identical math (tests/test_pipeline.py) — and serve that.
+            import dataclasses
+
+            from d2r_tpu.utils.weights import unpipeline_tower_layers
+            variables = dict(variables, params=unpipeline_tower_layers(
+                variables["params"]))
+            cfg = dataclasses.replace(cfg, pipeline_stages=1,
+                                      pipeline_microbatches=0,
+                                      scan_layers=True)
         self.cfg = cfg
         self.mesh = mesh
         self.quantize = quantize

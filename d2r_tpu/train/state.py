@@ -88,15 +88,24 @@ def _compute_cast(params, dtype):
     fp32 weight relayouts + bf16 copies at every use site (forward, dx, dW):
     the optimised HLO showed ~7 GB/step of fp32 weight-shaped buffers on a
     step that is HBM-bandwidth-bound. Hoisting the cast makes fwd/bwd touch
-    only the half-width bf16 copies. 1-D params (LayerNorm/bias/BatchNorm
-    scales) keep fp32 so modules that consume them in fp32 (TorchBatchNorm)
-    are byte-for-byte unchanged; their traffic is negligible.
+    only the half-width bf16 copies. LayerNorm/bias/BatchNorm scales keep
+    fp32 so modules that consume them in fp32 (TorchBatchNorm) are
+    byte-for-byte unchanged; their traffic is negligible. Selection is by
+    LEAF NAME (kernel/embedding), not ndim — scanned (N, h) and pipelined
+    (S, N/S, h) stacks make LN scales >=2-D, and an ndim test would cast
+    exactly the params this docstring promises stay fp32.
     """
     if dtype == jnp.float32 or not _HOIST_PARAM_CAST:
         return params
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(dtype)
-        if (p.ndim >= 2 and p.dtype == jnp.float32) else p, params)
+
+    def cast(path, p):
+        last = path[-1]
+        leaf = str(getattr(last, "key", getattr(last, "name", last)))
+        if leaf in ("kernel", "embedding") and p.dtype == jnp.float32:
+            return p.astype(dtype)
+        return p
+
+    return jax.tree_util.tree_map_with_path(cast, params)
 
 
 # A/B result on v5e (see docs/BENCHMARKS.md): hoisting the cast REGRESSED

@@ -210,6 +210,21 @@ def load_pretrained_params(pretrained_dir: str, cfg, params_template):
                               tc.num_hidden_layers, vc.num_hidden_layers)
 
 
+def _map_towers(params: Dict[str, Any], fn) -> Dict[str, Any]:
+    """Apply ``fn`` to every encoder-tower subtree ('encoder_text_layers',
+    'encoder_vision_layers'), recursing through everything else — the one
+    shared walker behind the four tower-layout converters below."""
+    out = {}
+    for key, sub in params.items():
+        if key in ("encoder_text_layers", "encoder_vision_layers"):
+            out[key] = fn(sub)
+        elif isinstance(sub, dict):
+            out[key] = _map_towers(sub, fn)
+        else:
+            out[key] = sub
+    return out
+
+
 def stack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
     """Unscanned param tree -> cfg.scan_layers tree.
 
@@ -234,15 +249,7 @@ def stack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
         rest = {k: v for k, v in tower.items() if not k.startswith("layer_")}
         return {"layers_scanned": {"layer": stacked}, **rest}
 
-    out = {}
-    for key, sub in params.items():
-        if key in ("encoder_text_layers", "encoder_vision_layers"):
-            out[key] = stack_tower(sub)
-        elif isinstance(sub, dict):
-            out[key] = stack_tower_layers(sub)
-        else:
-            out[key] = sub
-    return out
+    return _map_towers(params, stack_tower)
 
 
 def unstack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -260,15 +267,7 @@ def unstack_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
         out.update({k: v for k, v in tower.items() if k != "layers_scanned"})
         return out
 
-    out = {}
-    for key, sub in params.items():
-        if key in ("encoder_text_layers", "encoder_vision_layers"):
-            out[key] = unstack_tower(sub)
-        elif isinstance(sub, dict):
-            out[key] = unstack_tower_layers(sub)
-        else:
-            out[key] = sub
-    return out
+    return _map_towers(params, unstack_tower)
 
 
 def pipeline_tower_layers(params: Dict[str, Any],
@@ -300,16 +299,8 @@ def pipeline_tower_layers(params: Dict[str, Any],
         out.update({k: v for k, v in tower.items() if k != "layers_scanned"})
         return out
 
-    scanned = stack_tower_layers(params)  # idempotent on scanned trees
-    out = {}
-    for key, sub in scanned.items():
-        if key in ("encoder_text_layers", "encoder_vision_layers"):
-            out[key] = pipe_tower(sub)
-        elif isinstance(sub, dict):
-            out[key] = pipeline_tower_layers(sub, stages)
-        else:
-            out[key] = sub
-    return out
+    # stack first (idempotent on scanned trees), then relayout each tower
+    return _map_towers(stack_tower_layers(params), pipe_tower)
 
 
 def unpipeline_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -331,12 +322,4 @@ def unpipeline_tower_layers(params: Dict[str, Any]) -> Dict[str, Any]:
                     if k != "layers_pipelined"})
         return out
 
-    out = {}
-    for key, sub in params.items():
-        if key in ("encoder_text_layers", "encoder_vision_layers"):
-            out[key] = unpipe_tower(sub)
-        elif isinstance(sub, dict):
-            out[key] = unpipeline_tower_layers(sub)
-        else:
-            out[key] = sub
-    return out
+    return _map_towers(params, unpipe_tower)

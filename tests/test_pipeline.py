@@ -217,3 +217,24 @@ def test_pipeline_relayout_round_trip(eight_devices):
     want = stack_tower_layers(
         jax.tree_util.tree_map(np.asarray, v["params"]))
     jax.tree_util.tree_map(np.testing.assert_array_equal, back, want)
+
+
+def test_pipelined_partition_spec_without_stage_axis():
+    """Serving a pipelined checkpoint on a stage-LESS mesh (e.g. d2r-serve
+    --tp 2 builds ('data','model') only): the tp rule must shift past the
+    TWO leading stack axes, never land on them."""
+    from jax.sharding import PartitionSpec as P
+
+    from d2r_tpu.parallel.mesh import param_partition_spec
+
+    spec = param_partition_spec(
+        "model/encoder_text_layers/layers_pipelined/pipeline/"
+        "stages_pipelined/layers/layer/attention_self/qkv/kernel",
+        has_model_axis=True, has_stage_axis=False)
+    assert spec == P(None, None, None, None, "model")
+    # and un-ruled stage params stay fully replicated
+    spec = param_partition_spec(
+        "model/encoder_text_layers/layers_pipelined/pipeline/"
+        "stages_pipelined/layers/layer/output_LayerNorm/scale",
+        has_model_axis=True, has_stage_axis=False)
+    assert spec == P(None, None)

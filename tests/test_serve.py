@@ -135,3 +135,32 @@ def test_mesh_warmup_compiles_the_serving_programs():
                  batch["token_type_ids"], batch["pixel_values"])
     assert fn._cache_size() == 1, \
         "predict() retraced: warmup staged inputs with different shardings"
+
+
+def test_pipelined_checkpoint_serves_and_matches_sequential():
+    """A checkpoint trained with --mesh_stage (pipelined (S, N/S, ...) tower
+    stacks) must still serve: the Predictor relayouts it to the scanned
+    stack (pure reshape) — before that fix the default batch bucket 1 could
+    never divide pipeline_microbatches and EVERY pipelined checkpoint
+    crashed at the first request."""
+    import dataclasses
+
+    from d2r_tpu.utils.weights import pipeline_tower_layers
+
+    cfg, variables, batch = _setup()
+    pred_seq = Predictor(cfg, variables, batch_buckets=(1,),
+                         seq_buckets=(cfg.max_seq,))
+    ref = pred_seq.predict(
+        batch["input_ids"][:1], batch["attention_mask"][:1],
+        batch["token_type_ids"][:1], batch["pixel_values"][:1])
+
+    pcfg = dataclasses.replace(cfg, pipeline_stages=2,
+                               pipeline_microbatches=2)
+    pvars = dict(variables,
+                 params=pipeline_tower_layers(variables["params"], 2))
+    pred = Predictor(pcfg, pvars, batch_buckets=(1,),
+                     seq_buckets=(cfg.max_seq,))
+    out = pred.predict(
+        batch["input_ids"][:1], batch["attention_mask"][:1],
+        batch["token_type_ids"][:1], batch["pixel_values"][:1])
+    np.testing.assert_allclose(out["probs"], ref["probs"], atol=2e-5)

@@ -56,6 +56,16 @@ VARIANTS = {
     # step per K microbatches — measures the throughput cost of the scan'd
     # grad-sum vs K independent optimizer steps (the 'baseline' program)
     "grad_accum4": {"_grad_accum": 4, "_uint8_pixels": True},
+    # BASELINE config 4 measured: RoBERTa-large + ViT-L/14 geometry through
+    # the same fabric (random init — a THROUGHPUT artifact; accuracy parity
+    # for scaled towers is the converter's job). ~0.72B params fp32 + AdamW
+    # moments ~= 8.7 GB, so bsz 16 on the 16 GB v5e; ViT-L/14 = 257 vision
+    # tokens. scan_layers keeps the 24-layer HLO small enough to compile
+    # through the tunnel; uint8 pixels keep the stacked input buffers sane.
+    "scaled_large": {
+        "bert_name": "roberta-large", "vit_name": "clip-vit-large-patch14",
+        "embed_size": 1024, "num_head_IMRC": 16, "hid_IMRC": 1024,
+        "scan_layers": True, "_batch_size": 16, "_uint8_pixels": True},
 }
 
 
