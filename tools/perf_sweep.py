@@ -58,14 +58,21 @@ VARIANTS = {
     "grad_accum4": {"_grad_accum": 4, "_uint8_pixels": True},
     # BASELINE config 4 measured: RoBERTa-large + ViT-L/14 geometry through
     # the same fabric (random init — a THROUGHPUT artifact; accuracy parity
-    # for scaled towers is the converter's job). ~0.72B params fp32 + AdamW
-    # moments ~= 8.7 GB, so bsz 16 on the 16 GB v5e; ViT-L/14 = 257 vision
-    # tokens. scan_layers keeps the 24-layer HLO small enough to compile
-    # through the tunnel; uint8 pixels keep the stacked input buffers sane.
+    # for scaled towers is the converter's job). 925.7M params -> 3.45 GB
+    # fp32 + 6.9 GB AdamW moments, so bsz 16 + remat on the 16 GB v5e
+    # (48 tower layers x 321 tokens of unremat'd bf16 activations would
+    # flirt with the HBM limit); ViT-L/14 = 257 vision tokens, so the
+    # Pallas flash kernel fires on the vision branch (kv >= 256).
+    # scan_layers keeps the 24-layer HLO small enough to compile through
+    # the tunnel; uint8 pixels keep the stacked input buffers sane.
+    # adam_mu_dtype=bfloat16 is part of the scaled recipe: fp32 moments OOM
+    # the chip by 633 MB (measured: 16.37 G of 15.75 G — arguments 11.28 G
+    # dominated by the two fp32 moment trees).
     "scaled_large": {
         "bert_name": "roberta-large", "vit_name": "clip-vit-large-patch14",
         "embed_size": 1024, "num_head_IMRC": 16, "hid_IMRC": 1024,
-        "scan_layers": True, "_batch_size": 16, "_uint8_pixels": True},
+        "scan_layers": True, "remat": True, "adam_mu_dtype": "bfloat16",
+        "_batch_size": 16, "_uint8_pixels": True},
 }
 
 
