@@ -392,3 +392,17 @@ _VISION_PRESETS["tiny-vit"] = lambda: VisionEncoderConfig(
     image_size=32,
     patch_size=16,
 )
+# tiny RoBERTa-family twin (position_style + BPE path tests/smokes):
+# vocab 384 covers the 5 specials + all 256 byte-level BPE symbols
+_TEXT_PRESETS["tiny-roberta"] = lambda: TextEncoderConfig(
+    vocab_size=384,
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    max_position_embeddings=64,
+    type_vocab_size=1,
+    layer_norm_eps=1e-5,
+    pad_token_id=1,
+    position_style="roberta",
+)

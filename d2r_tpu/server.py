@@ -123,7 +123,9 @@ class InferenceService:
     def __init__(
         self,
         predictor,                      # serve.Predictor
-        tokenizer,                      # data/tokenizer.py WordpieceTokenizer
+        tokenizer,                      # data/tokenizer.py BertTokenizer or
+                                        # data/bpe.py RobertaBPETokenizer
+                                        # (duck-typed: encode_ids + *_token_id)
         raw_uint8: bool = True,         # pixel_transfer='uint8' request path
         fallback_image: Optional[str] = None,
         max_wait_ms: float = 5.0,
@@ -308,8 +310,10 @@ def main(argv=None):
     ap.add_argument("--bert_name", default=None)
     ap.add_argument("--vit_name", default=None)
     ap.add_argument("--vocab_file", default=None,
-                    help="local vocab.txt path/dir (overrides --bert_name "
-                         "for tokenizer resolution)")
+                    help="local tokenizer assets: vocab.txt path/dir "
+                         "(WordPiece) or a dir with vocab.json+merges.txt "
+                         "(byte-level BPE, RoBERTa towers); overrides "
+                         "--bert_name for tokenizer resolution")
     ap.add_argument("--max_seq", type=int, default=None)
     ap.add_argument("--DR_step", type=int, default=None)
     ap.add_argument("--num_classes", type=int, default=None)

@@ -107,3 +107,71 @@ def test_harness_strict_mode_rejects_missing_vocab(tmp_path):
         capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
     assert proc.returncode != 0
     assert "required asset missing" in (proc.stderr + proc.stdout)
+
+
+def _write_roberta_assets(assets_dir: str) -> None:
+    """RoBERTa-family asset layout: byte-level BPE (vocab.json + merges.txt,
+    character-level — all 256 byte symbols, no merges) + RobertaModel
+    state_dict at the registered tiny-roberta preset geometry."""
+    from transformers import (CLIPVisionConfig, CLIPVisionModel,
+                              RobertaConfig, RobertaModel)
+
+    from d2r_tpu.data.bpe import bytes_to_unicode
+
+    os.makedirs(assets_dir, exist_ok=True)
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for ch in bytes_to_unicode().values():
+        vocab.setdefault(ch, len(vocab))
+    assert len(vocab) <= 384  # tiny-roberta preset vocab_size
+    with open(os.path.join(assets_dir, "vocab.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(assets_dir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+
+    torch.manual_seed(0)
+    roberta = RobertaModel(RobertaConfig(
+        vocab_size=384, hidden_size=HID, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=MAXPOS, type_vocab_size=1,
+        layer_norm_eps=1e-5, pad_token_id=1, hidden_act="gelu"),
+        add_pooling_layer=False).eval()
+    torch.save(roberta.state_dict(), os.path.join(assets_dir, "bert.pt"))
+    clip = CLIPVisionModel(CLIPVisionConfig(
+        hidden_size=HID, num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        intermediate_size=INTER, image_size=IMG, patch_size=PATCH)).eval()
+    torch.save(clip.vision_model.state_dict(),
+               os.path.join(assets_dir, "clip_vit.pt"))
+
+
+@pytest.mark.slow
+def test_harness_roberta_assets_smoke(tmp_path):
+    """BASELINE config 4's asset flavor end-to-end: RobertaModel state_dict
+    through the production converter + byte-level BPE tokenizer resolution,
+    driven by the ACTUAL script as a subprocess."""
+    from d2r_tpu.data.dataset import write_fake_dataset
+
+    assets = str(tmp_path / "assets")
+    data = str(tmp_path / "data")
+    _write_roberta_assets(assets)
+    paths = write_fake_dataset(data, n=12, image_size=IMG, corrupt_every=5)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_real_assets.py"),
+         "--assets_dir", assets, "--data_dir", data,
+         "--img_dir", paths["img_dir"],
+         "--save_path", str(tmp_path / "out"),
+         "--device", "cpu", "--num_epochs", "1", "--batch_size", "4",
+         "--max_seq", "16", "--bert_name", "tiny-roberta",
+         "--vit_name", "tiny-vit", "--embed_size", "64",
+         "--num_head_IMRC", "4", "--hid_IMRC", "64", "--hid_router", "32",
+         "--DR_step", "3", "--steps_per_dispatch", "2"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    json_lines = [ln for ln in proc.stdout.splitlines()
+                  if ln.startswith("{") and "test_weighted_f1" in ln]
+    assert json_lines, f"no metrics line in stdout:\n{proc.stdout[-2000:]}"
+    out = json.loads(json_lines[-1])
+    assert np.isfinite(out["value"]) and 0.0 <= out["value"] <= 1.0

@@ -72,16 +72,16 @@ def test_roberta_style_tiny_model_forward():
     attention mask through the FULL classifier: pad slots read the reserved
     padding_idx position row (parity pinned vs live HF in
     tests/parity/test_roberta_parity.py); this pins the e2e wiring."""
-    register_text_preset("tiny-roberta", lambda: TextEncoderConfig(
+    register_text_preset("w32-roberta", lambda: TextEncoderConfig(
         vocab_size=128, hidden_size=32, num_hidden_layers=1,
         num_attention_heads=2, intermediate_size=64,
         max_position_embeddings=34, type_vocab_size=1, pad_token_id=1,
         layer_norm_eps=1e-5, position_style="roberta"))
-    register_vision_preset("tiny-roberta-vit", lambda: VisionEncoderConfig(
+    register_vision_preset("w32-roberta-vit", lambda: VisionEncoderConfig(
         hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
         intermediate_size=64, image_size=32, patch_size=16))
     cfg = D2RConfig(
-        bert_name="tiny-roberta", vit_name="tiny-roberta-vit", embed_size=32,
+        bert_name="w32-roberta", vit_name="w32-roberta-vit", embed_size=32,
         num_head_IMRC=2, hid_IMRC=16, hid_router=8, DR_step=3,
         max_seq=8, batch_size=2, compute_dtype="float32", use_pallas=False)
     model = D2RClassifier(cfg)

@@ -5,7 +5,12 @@ The accuracy north star (BASELINE.md: reference-parity weighted F1 on
 MVSA-Single / MVSA-Multiple) needs real assets that cannot ship in this repo:
 
     <assets_dir>/vocab.txt      bert-base-uncased WordPiece vocab
+                                (RoBERTa towers instead: vocab.json +
+                                merges.txt, byte-level BPE)
     <assets_dir>/bert.pt        torch.save(BertModel.from_pretrained(n).state_dict())
+                                (or RobertaModel.state_dict() — the
+                                converter is key-compatible; pair with a
+                                position_style='roberta' text preset)
     <assets_dir>/clip_vit.pt    torch.save(CLIPModel.from_pretrained(n)
                                            .vision_model.state_dict())
     <data_dir>/train.json dev.json test.json   MVSA split files
@@ -81,10 +86,18 @@ def main() -> None:
     from d2r_tpu.utils.weights import load_pretrained_params
     from d2r_tpu.train.state import create_train_state
 
-    for fname in ("vocab.txt", "bert.pt", "clip_vit.pt"):
+    for fname in ("bert.pt", "clip_vit.pt"):
         path = os.path.join(args.assets_dir, fname)
         if not os.path.exists(path):
             raise FileNotFoundError(f"required asset missing: {path}")
+    has_wordpiece = os.path.exists(os.path.join(args.assets_dir, "vocab.txt"))
+    has_bpe = all(os.path.exists(os.path.join(args.assets_dir, f))
+                  for f in ("vocab.json", "merges.txt"))
+    if not (has_wordpiece or has_bpe):
+        raise FileNotFoundError(
+            f"no tokenizer assets in {args.assets_dir}: need vocab.txt "
+            "(WordPiece, BERT towers) or vocab.json+merges.txt (byte-level "
+            "BPE, RoBERTa towers)")
 
     cfg = D2RConfig(
         # the reference recipe (ref: run.sh:1-21)
