@@ -400,7 +400,10 @@ _TEXT_PRESETS["tiny-roberta"] = lambda: TextEncoderConfig(
     num_hidden_layers=2,
     num_attention_heads=4,
     intermediate_size=128,
-    max_position_embeddings=64,
+    # roberta-style positions reserve rows 0..pad_token_id and start
+    # content at pad+1, so a full max_seq=64 sequence reaches row 65 —
+    # mirror HF's 514-for-512 convention (max_seq + pad + 1)
+    max_position_embeddings=66,
     type_vocab_size=1,
     layer_norm_eps=1e-5,
     pad_token_id=1,

@@ -33,10 +33,14 @@ from d2r_tpu.data.tokenizer import load_tokenizer
 
 def encode_text(tokenizer, text: str, max_seq: int):
     """Tokenize exactly like training: truncate to max_seq-2, wrap in
-    [CLS]/[SEP], zero-pad (ref: processor/dataset.py:64-85). Returns
-    (input_ids, attention_mask, token_type_ids) int32 arrays of length
-    ``max_seq``. Shared by MSDDataset and the serving preprocessor so
-    train/serve tokenisation can never skew."""
+    [CLS]/[SEP], pad with the tokenizer's PAD id
+    (ref: processor/dataset.py:64-85 — zero-pad there, and WordPiece's
+    [PAD] is 0 so BERT behavior is identical; RoBERTa's <pad> is 1, and
+    padding with 0 would embed the <s> row at every pad slot — which the
+    Router's pad-mean-pooling quirk would then feed into the routing
+    gates). Returns (input_ids, attention_mask, token_type_ids) int32
+    arrays of length ``max_seq``. Shared by MSDDataset and the serving
+    preprocessor so train/serve tokenisation can never skew."""
     if hasattr(tokenizer, "encode_ids"):
         # single-call path (native C fast path for ASCII text when built,
         # tokenizer.py::BertTokenizer.encode_ids) — same ids as the
@@ -49,7 +53,8 @@ def encode_text(tokenizer, text: str, max_seq: int):
         body = tokenizer.convert_tokens_to_ids(tokens)
     ids = [tokenizer.cls_token_id] + body + [tokenizer.sep_token_id]
     n = len(ids)
-    input_ids = np.zeros(max_seq, np.int32)
+    input_ids = np.full(max_seq, getattr(tokenizer, "pad_token_id", 0),
+                        np.int32)
     input_ids[:n] = ids
     attention_mask = np.zeros(max_seq, np.int32)
     attention_mask[:n] = 1

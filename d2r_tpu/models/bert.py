@@ -52,9 +52,23 @@ class BertEmbeddings(nn.Module):
                 raise ValueError(
                     "position_style='roberta' needs the attention mask to "
                     "derive position ids")
+            # a full-length sequence reaches row seq_len + pad_token_id;
+            # XLA's gather CLAMPS out-of-range indices silently, so a
+            # too-small table would duplicate the last position rows with
+            # no error — fail at trace time instead
+            if seq_len + c.pad_token_id + 1 > c.max_position_embeddings:
+                raise ValueError(
+                    f"roberta positions need max_position_embeddings >= "
+                    f"seq_len + pad_token_id + 1 = "
+                    f"{seq_len + c.pad_token_id + 1}, have "
+                    f"{c.max_position_embeddings}")
             mask = attention_mask.astype(jnp.int32)
             position_ids = jnp.cumsum(mask, axis=1) * mask + c.pad_token_id
         elif c.position_style == "absolute":
+            if seq_len > c.max_position_embeddings:
+                raise ValueError(
+                    f"seq_len {seq_len} exceeds max_position_embeddings "
+                    f"{c.max_position_embeddings}")
             position_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
         else:
             raise ValueError(

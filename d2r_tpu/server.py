@@ -224,8 +224,10 @@ def _make_handler(service: InferenceService):
                     return
                 image_bytes = None
                 if req.get("image_b64"):
-                    image_bytes = base64.b64decode(req["image_b64"],
-                                                   validate=True)
+                    # tolerate MIME/PEM-style whitespace wrapping (newlines
+                    # every 76 chars) while still rejecting garbage
+                    b64 = "".join(req["image_b64"].split())
+                    image_bytes = base64.b64decode(b64, validate=True)
             except Exception as e:  # noqa: BLE001 — malformed request
                 self._json(400, {"error": f"bad request: {repr(e)[:400]}"})
                 return

@@ -110,3 +110,18 @@ def test_agreement_with_hf_slow_tokenizer(assets, ours):
         if theirs_ids != ours_ids:
             mismatches.append((text, theirs_ids, ours_ids))
     assert not mismatches, mismatches[:5]
+
+
+def test_encode_text_pads_with_tokenizer_pad_id(ours):
+    """RoBERTa's <pad> is 1, not 0 — zero-padding would embed the <s> row
+    at every pad slot, which the Router's pad-mean-pooling quirk would feed
+    into the routing gates (silent parity drift)."""
+    import numpy as np
+
+    from d2r_tpu.data.dataset import encode_text
+
+    ids, mask, _ = encode_text(ours, "the and", 8)
+    assert ids[0] == ours.cls_token_id
+    assert (mask == 0).any()
+    assert (ids[mask == 0] == ours.pad_token_id).all()
+    assert np.asarray(ids).dtype == np.int32

@@ -52,7 +52,7 @@ def test_process_shard_slices_are_disjoint_and_complete(tmp_path):
         for k in bf:
             got = np.concatenate([b0[k], b1[k]], axis=0)
             np.testing.assert_array_equal(got, bf[k], err_msg=k)
-        assert b0[k].shape[0] * 2 == bf[k].shape[0]
+            assert b0[k].shape[0] * 2 == bf[k].shape[0], k
 
 
 def test_process_shard_validation(tmp_path):
@@ -102,7 +102,12 @@ def test_two_process_training_matches_single(tmp_path):
         procs.append(subprocess.Popen(
             cmd, env=env, cwd=REPO, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    # concurrent drain — sequential communicate() can deadlock the pod if a
+    # later rank fills its 64KB pipe while an earlier rank blocks on it in
+    # a collective (same fix as tools/multihost_smoke.py)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(len(procs)) as pool:
+        outs = list(pool.map(lambda p: p.communicate(timeout=1500)[0], procs))
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
 

@@ -133,7 +133,9 @@ def _write_roberta_assets(assets_dir: str) -> None:
     roberta = RobertaModel(RobertaConfig(
         vocab_size=384, hidden_size=HID, num_hidden_layers=LAYERS,
         num_attention_heads=HEADS, intermediate_size=INTER,
-        max_position_embeddings=MAXPOS, type_vocab_size=1,
+        # tiny-roberta preset: 66 = max_seq 64 + pad_token_id 1 + 1
+        # (roberta positions reserve rows 0..pad)
+        max_position_embeddings=66, type_vocab_size=1,
         layer_norm_eps=1e-5, pad_token_id=1, hidden_act="gelu"),
         add_pooling_layer=False).eval()
     torch.save(roberta.state_dict(), os.path.join(assets_dir, "bert.pt"))

@@ -62,7 +62,13 @@ def main(argv=None) -> int:
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
              for rank in range(args.num_processes)]
-    outs = [p.communicate(timeout=args.timeout)[0] for p in procs]
+    # drain ALL pipes concurrently: sequential communicate() deadlocks the
+    # pod if a later rank fills its 64KB pipe while an earlier rank waits
+    # on it in a collective
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(len(procs)) as pool:
+        outs = list(pool.map(
+            lambda p: p.communicate(timeout=args.timeout)[0], procs))
 
     ok = True
     for rank, (p, out) in enumerate(zip(procs, outs)):
