@@ -144,6 +144,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["rbg", "threefry2x32"],
                    help="dropout PRNG: rbg = TPU-native (fast), "
                         "threefry2x32 = sharding-stable bits")
+    p.add_argument("--quant_train", default="none",
+                   choices=["none", "int8", "int8_all"],
+                   help="run projection matmuls on the int8 MXU path "
+                        "(2x bf16 peak; AQT-style dynamic quantization, "
+                        "STE backward; int8_all also quantizes the two "
+                        "backward dots). NOT recipe-parity numerics")
     return p
 
 
@@ -217,6 +223,7 @@ def config_from_args(args) -> D2RConfig:
         optimizer_impl=args.optimizer_impl,
         adam_mu_dtype=args.adam_mu_dtype,
         prng_impl=args.prng_impl,
+        quant_train=args.quant_train,
         pixel_transfer=args.pixel_transfer,
         scan_layers=args.scan_layers,
         seq_shard=args.seq_shard,

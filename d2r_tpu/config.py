@@ -291,6 +291,15 @@ class D2RConfig:
     # decode path is bit-identical to host-side normalisation; the native C
     # path re-quantises its float resample to uint8 (<=1 LSB, PARITY.md).
     pixel_transfer: str = "uint8"
+    # Opt-in int8 quantized training (ops/qdot.py): run the projection
+    # matmuls (TorchLinear/QKVDense) as int8 x int8 -> int32 MXU dots —
+    # ~2x the bf16 peak on v5e — with AQT-style dynamic symmetric scales
+    # (per activation row / per kernel column) and a straight-through-
+    # estimator backward. 'int8' quantizes the forward dot only (backward
+    # exact); 'int8_all' also quantizes the dx/dW dots. NOT recipe-parity
+    # numerics (the reference trains fp32); error bounds in
+    # tests/test_qdot.py, TPU A/B in docs/BENCHMARKS.md.
+    quant_train: str = "none"
 
     def text_config(self) -> TextEncoderConfig:
         key = self.bert_name.split("/")[-1]

@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from d2r_tpu.ops import qdot
+
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP's activation: x * sigmoid(1.702 x)."""
@@ -56,8 +58,10 @@ class TorchLinear(nn.Module):
         # NOTE: keep the N-D dot. XLA lowers 3D dots into conv-form HLOs,
         # which profile FINE here — an experiment flattening to 2D dots
         # measured 869 vs 922 samples/s (extra reshape materialisation).
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
+        # dispatch_dot routes to the plain dot (byte-identical) unless the
+        # opt-in int8 quantized-training mode is active (ops/qdot.py).
+        y = qdot.dispatch_dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                              self.dtype)
         if self.use_bias:
             if self.bias_init_value is not None:
                 bias = self.param(
@@ -100,9 +104,19 @@ class QKVDense(nn.Module):
         kernel = self.param("kernel", _uniform_init(bound),
                             (in_features, 3, self.hidden))
         bias = self.param("bias", _uniform_init(bound), (3, self.hidden))
-        y = jnp.einsum("...i,ikh->...kh", x.astype(self.dtype),
-                       kernel.astype(self.dtype),
-                       preferred_element_type=self.dtype)
+        if qdot.MODE != "none":
+            # quantized path: same math as the einsum through a 2-D-kernel
+            # dot (XLA folds the trailing kernel dims either way); the
+            # per-column int8 scales then cover each of the 3*hidden outputs
+            y = qdot.dispatch_dot(
+                x.astype(self.dtype),
+                kernel.reshape(in_features, 3 * self.hidden).astype(self.dtype),
+                self.dtype)
+            y = y.reshape(y.shape[:-1] + (3, self.hidden))
+        else:
+            y = jnp.einsum("...i,ikh->...kh", x.astype(self.dtype),
+                           kernel.astype(self.dtype),
+                           preferred_element_type=self.dtype)
         y = y + bias.astype(self.dtype)
         return y[..., 0, :], y[..., 1, :], y[..., 2, :]
 

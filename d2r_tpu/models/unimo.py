@@ -28,6 +28,7 @@ from d2r_tpu.models.interaction import InteractionModule
 from d2r_tpu.models.layers import BertPooler
 from d2r_tpu.models.vit import CLIPEncoderLayer, CLIPVisionEmbeddings, CLIPVisionEncoder
 from d2r_tpu.models.xmodules import BlockFusion
+from d2r_tpu.ops import qdot
 from d2r_tpu.ops.attention import padding_key_bias
 from d2r_tpu.ops.losses import cross_entropy_loss, path_consistency_loss
 
@@ -52,6 +53,10 @@ class D2RModel(nn.Module):
         valid: Array = None,       # (B,) row mask for wrap-padded batches
     ) -> Tuple[Array, Array]:
         c = self.cfg
+        # trace-time dispatch: set BEFORE any TorchLinear/QKVDense body is
+        # traced so every projection in this trace uses this cfg's mode
+        # (default "none" = the plain-dot path, byte-identical)
+        qdot.set_mode(getattr(c, "quant_train", "none"))
         dtype = c.dtype
         tc = c.text_config()
         vc = c.vision_config()
