@@ -57,10 +57,12 @@ VARIANTS = {
     # grad-sum vs K independent optimizer steps (the 'baseline' program)
     "grad_accum4": {"_grad_accum": 4, "_uint8_pixels": True},
     # int8 quantized training (ops/qdot.py): projection dots on the int8
-    # MXU path (~2x bf16 peak on v5e) — THE one dot-time lever the bf16
-    # toolchain can't reach (docs/ROOFLINE.md). int8_train quantizes the
-    # forward dots (STE-exact backward); int8_all_train also runs dx/dW
-    # int8. NOT recipe-parity numerics; error bounds in tests/test_qdot.py.
+    # MXU path (~2x bf16 peak on v5e) — the one dot-time lever the bf16
+    # toolchain can't reach (docs/ROOFLINE.md). Measured 651.3 (int8) /
+    # 678.3 (int8_all) vs 825.8 baseline: the dynamic-quantization overhead
+    # exceeds the MXU savings at D2R shapes — REJECTED for the recipe, kept
+    # opt-in for larger geometries (docs/BENCHMARKS.md). NOT recipe-parity
+    # numerics; error bounds in tests/test_qdot.py.
     "int8_train": {"quant_train": "int8"},
     "int8_all_train": {"quant_train": "int8_all"},
     # BASELINE config 4 measured: RoBERTa-large + ViT-L/14 geometry through
