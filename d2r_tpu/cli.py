@@ -107,6 +107,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_opt_state", action="store_true",
                    help="checkpoint optimizer state too (true resume; the "
                         "reference restarts the schedule)")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="write a full-state checkpoint every epoch under "
+                        "save_path/resume/ and continue an interrupted run "
+                        "from it bit-exactly (rerun the same command)")
+    p.add_argument("--patience", default=0, type=int,
+                   help="stop early when dev F1 has not improved for N "
+                        "evaluated epochs (0 = train all epochs)")
+    p.add_argument("--metrics_jsonl", default=None, type=str,
+                   help="append per-window/eval/summary metrics as JSON "
+                        "lines to this file")
     p.add_argument("--use_sentic_graph", action="store_true",
                    help="enable SenticNet affective-graph GCN refinement")
     p.add_argument("--sentic_lexicon", default=None, type=str,
@@ -135,6 +145,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "fabric's batch over (data x model) so tp devices "
                         "share fabric work instead of replicating it "
                         "(identical math)")
+    p.add_argument("--async_checkpoint", action="store_true",
+                   help="overlap best-model checkpoint writes with the next "
+                        "epoch's compute (awaited before the test reload)")
+    p.add_argument("--cache_items", action="store_true",
+                   help="memoise finished dataset items in RAM so epochs "
+                        ">=2 skip all host-side tokenise/decode work "
+                        "(~image_size^2*3 bytes/item at the uint8 default)")
     p.add_argument("--pixel_transfer", default="uint8",
                    choices=["uint8", "float32"],
                    help="image host->device format: uint8 ships raw resized "
@@ -212,6 +229,9 @@ def config_from_args(args) -> D2RConfig:
         lambda_softmax_CMRC=args.lambda_softmax_CMRC,
         hid_router=args.hid_router,
         save_opt_state=args.save_opt_state,
+        auto_resume=args.auto_resume,
+        patience=args.patience,
+        metrics_jsonl=args.metrics_jsonl,
         use_sentic_graph=args.use_sentic_graph,
         sentic_lexicon_path=args.sentic_lexicon,
         compute_dtype=args.compute_dtype,
@@ -225,6 +245,8 @@ def config_from_args(args) -> D2RConfig:
         prng_impl=args.prng_impl,
         quant_train=args.quant_train,
         pixel_transfer=args.pixel_transfer,
+        cache_items=args.cache_items,
+        async_checkpoint=args.async_checkpoint,
         scan_layers=args.scan_layers,
         seq_shard=args.seq_shard,
         fabric_shard=args.fabric_shard,
@@ -283,7 +305,8 @@ def main(argv=None) -> None:
         processor, paths["img"], max_seq=cfg.max_seq, mode=mode,
         image_size=vc.image_size, num_vision_tokens=vc.num_tokens,
         sample_ratio=cfg.sample_ratio if mode == "train" else 1.0,
-        sentic_lexicon=lexicon, pixel_transfer=cfg.pixel_transfer)
+        sentic_lexicon=lexicon, pixel_transfer=cfg.pixel_transfer,
+        cache_items=cfg.cache_items)
     # multi-host: every process loads only its slice of each global batch
     shard = distributed.process_shard() if distributed.is_multiprocess() \
         else None

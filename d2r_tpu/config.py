@@ -205,6 +205,30 @@ class D2RConfig:
 
     # --- TPU-native additions (no reference equivalent) ---
     save_opt_state: bool = False        # true resume (ref restarts schedule)
+    # Preemption-safe resume: checkpoint FULL train state (params +
+    # batch_stats + opt_state + step + best-F1 bookkeeping) at every epoch
+    # boundary under save_path/resume/, and on startup continue an
+    # interrupted run from there bit-exactly (same shuffle order, dropout
+    # stream, LR position — tests/test_auto_resume.py). Rerun the SAME
+    # command; the epoch loop picks up where it left off.
+    auto_resume: bool = False
+    # Early stopping: stop when the dev weighted-F1 has not improved for N
+    # consecutive evaluated epochs (0 = off, the reference behaviour). The
+    # best-model checkpoint/test policy is unchanged — this only ends the
+    # epoch loop sooner.
+    patience: int = 0
+    # Structured observability: append one JSON line per train-loss window,
+    # dev eval, test eval, and end-of-run summary to this file (rank 0 only).
+    metrics_jsonl: Optional[str] = None
+    # Overlap best-model checkpoint writes with the next epoch's compute
+    # (orbax AsyncCheckpointer); the trainer awaits durability before its
+    # best-model test reload. Resume checkpoints stay synchronous — their
+    # crash-safety protocol publishes the meta only after arrays are durable.
+    async_checkpoint: bool = False
+    # Memoise finished dataset items in RAM: every per-item transform is
+    # deterministic, so epochs >= 2 skip all host-side tokenise/decode work.
+    # Opt-in — pixels dominate the footprint (~image_size^2*3 B/item uint8).
+    cache_items: bool = False
     compute_dtype: str = "float32"      # "bfloat16" for MXU throughput
     use_pallas: bool = True             # pallas fused attention on TPU
     remat: bool = False                 # jax.checkpoint over encoder layers

@@ -23,6 +23,8 @@ loop, ref: modules/train.py:220-278). TPU-native serving design:
 
 Endpoints:
   GET  /healthz            -> {"status": "ok", ...}
+  GET  /metrics            -> request/error/flush counters, end-to-end
+                              latency percentiles, batch-fill stats
   POST /predict            -> body {"text": str, "image_b64": optional str}
                               -> {"label": int, "probs": [...]}
 """
@@ -117,6 +119,62 @@ class MicroBatcher:
         self._thread.join(timeout=5.0)
 
 
+class ServiceStats:
+    """Thread-safe serving counters + bounded latency/batch reservoirs.
+
+    Percentiles come from a deque of the most recent ``window`` samples —
+    O(1) memory forever-up servers, and recent-window percentiles are what
+    an operator actually wants (an hour-old compile spike shouldn't sit in
+    p99 all day)."""
+
+    WINDOW = 2048
+
+    def __init__(self):
+        from collections import deque
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.flushes_total = 0
+        self._latencies_ms = deque(maxlen=self.WINDOW)
+        self._batch_sizes = deque(maxlen=self.WINDOW)
+
+    def record_request(self, latency_ms: float, ok: bool) -> None:
+        with self._lock:
+            self.requests_total += 1
+            if ok:
+                self._latencies_ms.append(latency_ms)
+            else:
+                self.errors_total += 1
+
+    def record_flush(self, batch_size: int) -> None:
+        with self._lock:
+            self.flushes_total += 1
+            self._batch_sizes.append(batch_size)
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies_ms)
+            sizes = list(self._batch_sizes)
+            out = {
+                "uptime_s": time.time() - self._t0,
+                "requests_total": self.requests_total,
+                "errors_total": self.errors_total,
+                "flushes_total": self.flushes_total,
+            }
+        if lat:
+            pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]
+            out["latency_ms"] = {
+                "count": len(lat), "p50": pick(0.50), "p90": pick(0.90),
+                "p99": pick(0.99), "max": lat[-1],
+            }
+        if sizes:
+            out["batch_size"] = {
+                "mean": sum(sizes) / len(sizes), "max": max(sizes),
+            }
+        return out
+
+
 class InferenceService:
     """Raw-request preprocessing + micro-batched Predictor dispatch."""
 
@@ -139,6 +197,7 @@ class InferenceService:
         vc = predictor.cfg.vision_config()
         self.image_size = vc.image_size
         self.label_names = list(label_names) if label_names else None
+        self.stats = ServiceStats()
         self.batcher = MicroBatcher(
             self._run_batch,
             max_batch=predictor.batch_buckets[-1],
@@ -160,6 +219,7 @@ class InferenceService:
 
     # -- batcher flush -> one device launch ----------------------------
     def _run_batch(self, items: List[Dict[str, np.ndarray]]) -> List[Dict]:
+        self.stats.record_flush(len(items))
         stacked = {k: np.stack([it[k] for it in items]) for k in items[0]}
         out = self.predictor.predict(
             stacked["input_ids"], stacked["attention_mask"],
@@ -176,8 +236,15 @@ class InferenceService:
     # -- public entry ---------------------------------------------------
     def predict_one(self, text: str, image_bytes: Optional[bytes] = None,
                     timeout: Optional[float] = 30.0) -> Dict:
-        item = self.preprocess(text, image_bytes)
-        return self.batcher.submit(item).result(timeout=timeout)
+        t0 = time.monotonic()
+        try:
+            item = self.preprocess(text, image_bytes)
+            result = self.batcher.submit(item).result(timeout=timeout)
+        except Exception:
+            self.stats.record_request((time.monotonic() - t0) * 1e3, ok=False)
+            raise
+        self.stats.record_request((time.monotonic() - t0) * 1e3, ok=True)
+        return result
 
     def close(self):
         self.batcher.close()
@@ -204,6 +271,8 @@ def _make_handler(service: InferenceService):
                     "max_seq": service.max_seq,
                     "batch_buckets": list(service.predictor.batch_buckets),
                 })
+            elif self.path == "/metrics":
+                self._json(200, service.stats.snapshot())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

@@ -82,6 +82,10 @@ class Trainer(BaseTrainer):
         self.step = 0
         self.best_dev_metric = 0.0
         self.best_dev_epoch = None
+        # --patience bookkeeping: epoch of the last STRICT dev-F1 improvement
+        # (the best-model policy counts ties as new bests, ref:
+        # modules/train.py:210 `>=`, but a tie must not reset patience)
+        self.last_improve_epoch = None
         self.grad_accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
         if train_data is not None:
             steps_per_epoch = len(train_data)
@@ -140,6 +144,12 @@ class Trainer(BaseTrainer):
             # flags-vs-checkpoint mismatch must fail in milliseconds.
             from d2r_tpu.train.checkpoint import check_checkpoint_geometry
             check_checkpoint_geometry(cfg.load_path, cfg)
+        if cfg.auto_resume and cfg.save_path is not None:
+            # same early-fail guard for the resume checkpoint's config.json
+            from d2r_tpu.train.checkpoint import (check_checkpoint_geometry,
+                                                  load_resume_meta)
+            if load_resume_meta(cfg.save_path) is not None:
+                check_checkpoint_geometry(cfg.save_path, cfg)
         first_batch = next(iter(self.train_data))
         if self.state is None:
             self.init_state(first_batch, params=pretrained_params)
@@ -147,6 +157,10 @@ class Trainer(BaseTrainer):
             self.logger.info("Loading model from %s", cfg.load_path)
             self.state = restore_checkpoint(cfg.load_path, self.state)
             self.logger.info("Load model successful!")
+
+        start_epoch = 1
+        if cfg.auto_resume and cfg.save_path is not None:
+            start_epoch = self._maybe_resume()
 
         dropout_rng = jax.random.key(
             cfg.seed + 1, impl=getattr(cfg, "prng_impl", "threefry2x32"))
@@ -173,6 +187,8 @@ class Trainer(BaseTrainer):
             self.logger.info("epoch %d step %d loss:%.5f", epoch, self.step, avg)
             if self.writer:
                 self.writer.add_scalar("train_loss", avg, self.step)
+            self._emit_metrics({"kind": "train_window", "epoch": epoch,
+                                "step": self.step, "loss": avg})
             window_losses, window_steps = [], 0
             last_log_step = self.step
 
@@ -248,7 +264,7 @@ class Trainer(BaseTrainer):
         steps_per_dispatch = (self.grad_accum if self.grad_accum > 1
                               else max(int(cfg.steps_per_dispatch), 1))
         with self.mesh:
-            for epoch in range(1, cfg.num_epochs + 1):
+            for epoch in range(start_epoch, cfg.num_epochs + 1):
                 buf = []
                 for batch in self.train_data:
                     buf.append(batch)
@@ -262,12 +278,35 @@ class Trainer(BaseTrainer):
                 if epoch >= cfg.eval_begin_epoch:
                     self.evaluate(epoch)
 
+                # early stopping (--patience): epochs since the last STRICT
+                # dev-F1 improvement (plateaus count toward patience)
+                stop_early = (
+                    cfg.patience > 0 and self.last_improve_epoch is not None
+                    and epoch - self.last_improve_epoch >= cfg.patience)
+                if cfg.auto_resume and cfg.save_path is not None:
+                    self._save_resume(epoch, early_stopped=stop_early)
+                if stop_early:
+                    self.logger.info(
+                        "Early stop at epoch %d: dev F1 has not improved "
+                        "since epoch %d (patience %d)",
+                        epoch, self.best_dev_epoch, cfg.patience)
+                    self._emit_metrics({"kind": "early_stop", "epoch": epoch,
+                                        "best_dev_epoch": self.best_dev_epoch})
+                    break
+
             elapsed = time.time() - t_start
             # `seen` counts THIS process's batch slice; scale to the global
             # rate on pods (exact up to the one wrap-padded batch per epoch,
             # whose valid rows may split unevenly across ranks).
             self.logger.info("training throughput: %.2f samples/sec",
                              seen * jax.process_count() / max(elapsed, 1e-9))
+            self._emit_metrics({
+                "kind": "summary",
+                "samples_per_sec": seen * jax.process_count() / max(elapsed, 1e-9),
+                "steps": self.step, "elapsed_s": elapsed,
+                "best_dev_epoch": self.best_dev_epoch,
+                "best_dev_f1": self.best_dev_metric,
+            })
 
             if cfg.profile_dir and not profile_state["wrote"]:
                 # The trace targets the SECOND dispatch (the first includes
@@ -283,6 +322,8 @@ class Trainer(BaseTrainer):
             # best-checkpoint test pass (ref: modules/train.py:145-146)
             result = {}
             if cfg.save_path is not None and self.best_dev_epoch is not None:
+                from d2r_tpu.train.checkpoint import wait_for_async_saves
+                wait_for_async_saves()  # the best save may still be in flight
                 best = os.path.join(cfg.save_path, "best_model")
                 self.state = restore_checkpoint(best, self.state)
                 result = self.test(cfg.num_epochs)
@@ -294,6 +335,108 @@ class Trainer(BaseTrainer):
                 # (ref: modules/train.py:149)
                 shutil.rmtree(cfg.save_path, ignore_errors=True)
         return result
+
+    # ------------------------------------------------------------------
+    # Preemption-safe resume (--auto_resume). No reference equivalent
+    # (ref: modules/train.py only reloads the dev-best state_dict); on
+    # preemptible TPU pods an interrupted fine-tune must continue, not
+    # restart. Continuation is BIT-EXACT vs an uninterrupted run
+    # (tests/test_auto_resume.py): opt_state carries the LR-schedule
+    # position, the per-step dropout key is fold_in(rng, state.step), and
+    # the shuffle counter is fast-forwarded (DataLoader.set_epoch).
+
+    def _maybe_resume(self) -> int:
+        """Restore an interrupted run from save_path/resume; returns the
+        epoch to start from (1 when there is nothing to resume)."""
+        from d2r_tpu.train.checkpoint import (check_checkpoint_geometry,
+                                              load_resume_meta,
+                                              restore_resume_checkpoint)
+        cfg = self.cfg
+        meta = load_resume_meta(cfg.save_path)
+        if meta is None:
+            return 1
+        # the resume save wrote save_path/config.json — fail in milliseconds
+        # on a flags-vs-checkpoint geometry mismatch, before any compile
+        check_checkpoint_geometry(cfg.save_path, cfg)
+        for field, mine in (("seed", cfg.seed),
+                            ("num_epochs", cfg.num_epochs),
+                            ("train_num_steps", self.train_num_steps)):
+            theirs = meta.get(field, mine)
+            if theirs != mine:
+                # resumable, but no longer a bit-exact continuation (the
+                # shuffle stream / LR schedule differ from the original run)
+                self.logger.warning(
+                    "auto_resume: %s changed across the interruption "
+                    "(checkpoint %r vs flags %r) — continuing, but the run "
+                    "is no longer equivalent to an uninterrupted one",
+                    field, theirs, mine)
+        self.state = restore_resume_checkpoint(cfg.save_path, self.state, meta)
+        self.step = int(meta.get("trainer_step", 0))
+        self.best_dev_metric = float(meta.get("best_dev_metric", 0.0))
+        self.best_dev_epoch = meta.get("best_dev_epoch")
+        self.last_improve_epoch = meta.get("last_improve_epoch")
+        completed = int(meta["epoch"])
+        if hasattr(self.train_data, "set_epoch"):
+            # train() consumed one __iter__ up front for shape init, so an
+            # uninterrupted run's epoch-k iteration shuffles with seed + k;
+            # make the upcoming epoch (completed+1) match.
+            self.train_data.set_epoch(completed + 1)
+        if meta.get("early_stopped"):
+            # the interrupted run had already decided to stop — don't train
+            # further epochs, go straight to the best-model test pass
+            self.logger.info(
+                "Auto-resume: run at %s early-stopped at epoch %d; skipping "
+                "to the test pass", cfg.save_path, completed)
+            return cfg.num_epochs + 1
+        self.logger.info(
+            "Auto-resume: restored %d completed epoch(s) from %s "
+            "(step %d, best dev F1 %.5f at epoch %s); continuing at epoch %d",
+            completed, cfg.save_path, self.step, self.best_dev_metric,
+            self.best_dev_epoch, completed + 1)
+        return completed + 1
+
+    def _save_resume(self, epoch: int, early_stopped: bool = False) -> None:
+        """Checkpoint the FULL train state at an epoch boundary."""
+        from d2r_tpu.config import save_config_json
+        from d2r_tpu.train.checkpoint import (save_resume_checkpoint,
+                                              wait_for_async_saves)
+        cfg = self.cfg
+        # the epoch boundary is a full durability point: the resume meta
+        # must not claim an epoch whose (async) best-model save could still
+        # be lost to a preemption
+        wait_for_async_saves()
+        save_resume_checkpoint(cfg.save_path, self.state, {
+            "epoch": epoch,
+            "trainer_step": self.step,
+            "best_dev_metric": self.best_dev_metric,
+            "best_dev_epoch": self.best_dev_epoch,
+            "seed": cfg.seed,
+            "num_epochs": cfg.num_epochs,
+            "train_num_steps": self.train_num_steps,
+            "early_stopped": early_stopped,
+            "last_improve_epoch": self.last_improve_epoch,
+        })
+        if jax.process_index() == 0:
+            # the geometry guard for a future resuming process; the best-model
+            # save writes the same file, so only fill the gap
+            cj = os.path.join(cfg.save_path, "config.json")
+            if not os.path.exists(cj):
+                save_config_json(cfg, cj)
+
+    # ------------------------------------------------------------------
+    def _emit_metrics(self, record: Dict) -> None:
+        """--metrics_jsonl: append one JSON line (rank 0 only). Structured
+        twin of the reference's log lines (ref: modules/train.py:190-207) for
+        dashboards/run-tracking without log scraping."""
+        path = getattr(self.cfg, "metrics_jsonl", None)
+        if not path or jax.process_index() != 0:
+            return
+        import json
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps({"ts": time.time(), **record}) + "\n")
 
     # ------------------------------------------------------------------
     def _run_eval(self, data: Iterable, desc: str):
@@ -360,7 +503,10 @@ class Trainer(BaseTrainer):
         self.logger.info("***** Dev Eval results *****")
         for key in sorted(result):
             self.logger.info("  %s = %s", key, result[key])
+        self._emit_metrics({"kind": "dev", "epoch": epoch, **result})
 
+        if self.last_improve_epoch is None or m["f_score"] > self.best_dev_metric:
+            self.last_improve_epoch = epoch
         if m["f_score"] >= self.best_dev_metric:
             self.logger.info("Get better performance at epoch %d", epoch)
             self.best_dev_epoch = epoch
@@ -368,7 +514,9 @@ class Trainer(BaseTrainer):
             if self.cfg.save_path is not None:
                 save_checkpoint(os.path.join(self.cfg.save_path, "best_model"),
                                 self.state,
-                                include_opt_state=self.cfg.save_opt_state)
+                                include_opt_state=self.cfg.save_opt_state,
+                                async_save=getattr(self.cfg,
+                                                   "async_checkpoint", False))
                 # Self-describing checkpoint: d2r-serve / resume read the
                 # model geometry from here instead of re-typed CLI flags.
                 # (orbax coordinates the multi-host save itself; this side
@@ -393,4 +541,5 @@ class Trainer(BaseTrainer):
         self.logger.info("***** Test Eval results *****")
         for key in sorted(result):
             self.logger.info("  %s = %s", key, result[key])
+        self._emit_metrics({"kind": "test", "epoch": epoch, **result})
         return result

@@ -19,6 +19,15 @@ import pytest  # noqa: E402
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: the suite recompiles the same tiny-config
+# train/eval programs dozens of times across files and processes; on this
+# 1-core host that dominates wall time. XLA:CPU AOT caching works here (the
+# multichip dryrun loads its programs from this cache) and caching is
+# correctness-neutral — entries key on program+flags.
+from d2r_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 

@@ -28,6 +28,21 @@ def test_reference_defaults():
     assert args.hid_router == 768
 
 
+def test_round3_trainer_flags_round_trip():
+    argv = ("--auto_resume --patience 3 --metrics_jsonl /tmp/m.jsonl "
+            "--cache_items --async_checkpoint").split()
+    args = build_arg_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.auto_resume is True and cfg.patience == 3
+    assert cfg.metrics_jsonl == "/tmp/m.jsonl"
+    assert cfg.cache_items is True and cfg.async_checkpoint is True
+    # defaults: all off (reference behaviour)
+    dflt = config_from_args(build_arg_parser().parse_args([]))
+    assert dflt.auto_resume is False and dflt.patience == 0
+    assert dflt.metrics_jsonl is None
+    assert dflt.cache_items is False and dflt.async_checkpoint is False
+
+
 def test_recipe_flags_round_trip():
     # the run.sh MVSA-Single recipe (ref: run.sh:1-21)
     argv = ("--num_epochs 20 --lr 1e-5 --warmup_ratio 0.2 --seed 2023 "

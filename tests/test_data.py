@@ -89,6 +89,37 @@ class TestDataset:
         fb = load_image(os.path.join(fake_data["img_dir"], "inf.png"), 32)
         np.testing.assert_allclose(item["pixel_values"], fb, atol=1e-6)
 
+    def test_cache_items_serves_identical_items_with_zero_rebuilds(self, fake_data):
+        """--cache_items: epoch 2 does NO host-side transform work, and the
+        cached items are value-identical to freshly built ones."""
+        proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
+        ds = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",
+                        image_size=32, cache_items=True)
+        fresh = MSDDataset(proc, fake_data["img_dir"], max_seq=16,
+                           mode="train", image_size=32)
+        calls = {"n": 0}
+        orig = ds._build_item
+
+        def counting(idx):
+            calls["n"] += 1
+            return orig(idx)
+
+        ds._build_item = counting
+        loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                            seed=7)
+        list(loader)                       # epoch 1 populates the cache
+        built = calls["n"]
+        assert built >= len(ds)
+        list(loader)                       # epoch 2 must be all cache hits
+        assert calls["n"] == built
+        for i in range(len(ds)):
+            a, b = ds[i], fresh[i]
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]))
+        assert ds.cache_footprint_bytes() > 0
+
     def test_loader_static_shapes_with_wrap_padding(self, fake_data):
         proc = MSDProcessor(fake_data, "no-such-vocab", vocab_size=500)
         ds = MSDDataset(proc, fake_data["img_dir"], max_seq=16, mode="train",

@@ -47,3 +47,31 @@ def test_opt_state_roundtrip(tmp_path):
     s2, m1 = step(s, batch, rng)
     r2, m2 = step(restored, batch, rng)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """--async_checkpoint: an async save awaited via wait_for_async_saves is
+    byte-identical to a synchronous one."""
+    from d2r_tpu.train.checkpoint import wait_for_async_saves
+
+    cfg = tiny_test_config(batch_size=4)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(4, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=0)
+    state = create_train_state(model, cfg, None, jax.random.key(0), batch,
+                               total_steps=50)
+    step = make_train_step(model)
+    s, _ = step(state, batch, jax.random.key(1))
+
+    path = os.path.join(str(tmp_path), "ckpt_async")
+    save_checkpoint(path, s, include_opt_state=True, async_save=True)
+    wait_for_async_saves()
+
+    fresh = create_train_state(model, cfg, None, jax.random.key(2), batch,
+                               total_steps=50)
+    restored = restore_checkpoint(path, fresh)
+    for x, y in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(restored.step) == int(s.step) == 1

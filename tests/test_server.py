@@ -236,6 +236,31 @@ class TestHTTPEndToEnd:
         status, body = _post(url + "/predict", {"not_text": 1})
         assert status == 400 and "text" in body["error"]
 
+    def test_metrics_endpoint(self, server):
+        """/metrics: request/flush counters and latency percentiles track
+        traffic — asserted as before/after deltas so the test is independent
+        of how much traffic earlier tests in this class generated."""
+        url, cfg = server
+
+        def snap():
+            with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+                return json.loads(r.read())
+
+        before = snap()
+        status, _ = _post(url + "/predict", {"text": "metric me"})
+        assert status == 200
+        after = snap()
+        assert after["requests_total"] == before["requests_total"] + 1
+        assert after["flushes_total"] >= before["flushes_total"] + 1
+        assert after["latency_ms"]["count"] >= 1
+        assert after["latency_ms"]["p50"] > 0
+        assert after["latency_ms"]["p99"] >= after["latency_ms"]["p50"]
+        assert after["batch_size"]["max"] <= 2  # bucket cap
+        assert after["uptime_s"] > 0
+        # bad requests (400 in the handler) never reach the service, so
+        # errors_total only counts service-level failures
+        assert after["errors_total"] == before["errors_total"]
+
     def test_concurrent_requests_share_launches(self, server):
         """Four parallel requests through the real stack all succeed and
         agree with a direct sequential call (padding rows can't leak)."""
