@@ -117,6 +117,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_jsonl", default=None, type=str,
                    help="append per-window/eval/summary metrics as JSON "
                         "lines to this file")
+    p.add_argument("--freeze_towers", action="store_true",
+                   help="linear-probe mode: freeze the pretrained text and "
+                        "vision towers; train only the routing fabric, "
+                        "fusion head, and classifier")
+    p.add_argument("--tensorboard_dir", default=None, type=str,
+                   help="write TensorBoard event files (train loss + "
+                        "dev/test metrics); the reference declares this "
+                        "writer but never constructs it")
     p.add_argument("--use_sentic_graph", action="store_true",
                    help="enable SenticNet affective-graph GCN refinement")
     p.add_argument("--sentic_lexicon", default=None, type=str,
@@ -232,6 +240,8 @@ def config_from_args(args) -> D2RConfig:
         auto_resume=args.auto_resume,
         patience=args.patience,
         metrics_jsonl=args.metrics_jsonl,
+        tensorboard_dir=args.tensorboard_dir,
+        freeze_towers=args.freeze_towers,
         use_sentic_graph=args.use_sentic_graph,
         sentic_lexicon_path=args.sentic_lexicon,
         compute_dtype=args.compute_dtype,

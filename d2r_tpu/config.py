@@ -220,6 +220,16 @@ class D2RConfig:
     # Structured observability: append one JSON line per train-loss window,
     # dev eval, test eval, and end-of-run summary to this file (rank 0 only).
     metrics_jsonl: Optional[str] = None
+    # Linear-probe mode: freeze the five pretrained tower modules
+    # (optimizer.py::TOWER_MODULES — exactly what the converter populates)
+    # via optax.masked zero updates; the routing fabric, fusion head, and fc
+    # keep training. No reference equivalent (it always fine-tunes
+    # everything, ref: modules/train.py:287-322).
+    freeze_towers: bool = False
+    # TensorBoard event files (torch.utils.tensorboard). The reference
+    # declares a `writer` and hardwires it to None (ref: run.py:122,
+    # modules/train.py:135-137,201-205); this makes it functional.
+    tensorboard_dir: Optional[str] = None
     # Overlap best-model checkpoint writes with the next epoch's compute
     # (orbax AsyncCheckpointer); the trainer awaits durability before its
     # best-model test reload. Resume checkpoints stay synchronous — their

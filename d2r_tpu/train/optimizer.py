@@ -26,6 +26,37 @@ from jax.flatten_util import ravel_pytree
 from d2r_tpu.config import D2RConfig
 
 
+# The exact module set the pretrained converter populates
+# (utils/weights.py::bert_mapping/clip_vision_mapping): freezing these is
+# "linear-probe the fabric" — everything downstream (self_text/self_vision,
+# poolers, routing cells, fusion, fc) stays trainable. Matching is by path
+# COMPONENT, so the scan_layers / pipeline relayouts (which nest extra
+# levels under the same tower names) freeze identically.
+TOWER_MODULES = frozenset({
+    "text_embeddings", "encoder_text_layers",
+    "vision_embeddings", "vision_pre_layernorm", "encoder_vision_layers",
+})
+
+
+def _path_parts(key_path) -> list:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        else:
+            parts.append(str(k))
+    return parts
+
+
+def trainable_mask(params: Any):
+    """Pytree of bools for optax.masked: False on pretrained-tower leaves."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: not any(p in TOWER_MODULES for p in _path_parts(kp)),
+        params)
+
+
 def param_group_label(path: str) -> str:
     """Mirror the reference's substring grouping (ref: modules/train.py:292-319).
 
@@ -261,14 +292,39 @@ def make_optimizer(cfg: D2RConfig, total_steps: int,
     oracle in tests). All three match bit-for-bit at fp32
     (tests/test_fused_optimizer.py)."""
     impl = getattr(cfg, "optimizer_impl", "grouped")
+    freeze = getattr(cfg, "freeze_towers", False)
+    if freeze and impl == "fused":
+        # the flat-buffer impl ravels against a full-tree template and can't
+        # see optax.masked's pruned subtrees
+        raise ValueError("freeze_towers is incompatible with "
+                         "optimizer_impl='fused'; use 'grouped' (default), "
+                         "'fused_leaf', or 'multi_transform'")
+
+    def _wrap(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        if not freeze:
+            return tx
+        # tower leaves get set_to_zero: NO update at all — gradients AND the
+        # decoupled weight decay (zeroing grads alone would still decay
+        # frozen params). NB optax.masked alone would be wrong here: it
+        # passes masked-out leaves' updates through UNTRANSFORMED (raw
+        # grads), it does not zero them — multi_transform routes each label
+        # to its own transform.
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda kp, _: ("frozen" if any(p in TOWER_MODULES
+                                               for p in _path_parts(kp))
+                               else "train"), params)
+        return optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
+
     if params is not None and impl != "multi_transform":
         if impl == "fused":
             return fused_adamw(cfg, total_steps, params)
         if impl == "fused_leaf":
-            return fused_leaf_adamw(cfg, total_steps)
+            return _wrap(fused_leaf_adamw(cfg, total_steps))
         if impl != "grouped":
             raise ValueError(f"unknown optimizer_impl: {impl!r}")
-        return grouped_adamw(cfg, total_steps)
+        return _wrap(grouped_adamw(cfg, total_steps))
 
     warmup = cfg.warmup_ratio * total_steps
     tx = optax.multi_transform(
@@ -280,7 +336,7 @@ def make_optimizer(cfg: D2RConfig, total_steps: int,
         },
         param_labels=lambda params: _label_tree(params),
     )
-    return tx
+    return _wrap(tx)
 
 
 def _label_tree(params: Any):

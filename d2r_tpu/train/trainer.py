@@ -77,6 +77,18 @@ class Trainer(BaseTrainer):
             self.logger = logging.getLogger("d2r_tpu.trainer.nonzero_rank")
             self.logger.setLevel(logging.WARNING)
         self.writer = writer  # optional metric writer (ref keeps it None, run.py:122)
+        if (self.writer is None and getattr(cfg, "tensorboard_dir", None)
+                and jax.process_index() == 0):
+            # make the reference's vestigial writer functional
+            # (ref: modules/train.py:135-137,201-205 guard a writer that
+            # run.py:122 hardwires to None)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(cfg.tensorboard_dir)
+            except Exception as e:  # noqa: BLE001 — observability is optional
+                self.logger.warning(
+                    "--tensorboard_dir: SummaryWriter unavailable (%r); "
+                    "continuing without", e)
         self.cleanup_output = cleanup_output
 
         self.step = 0
@@ -504,6 +516,10 @@ class Trainer(BaseTrainer):
         for key in sorted(result):
             self.logger.info("  %s = %s", key, result[key])
         self._emit_metrics({"kind": "dev", "epoch": epoch, **result})
+        if self.writer:
+            for k in ("eval_accuracy", "precision", "recall", "f_score",
+                      "loss"):
+                self.writer.add_scalar(f"dev/{k}", result[k], epoch)
 
         if self.last_improve_epoch is None or m["f_score"] > self.best_dev_metric:
             self.last_improve_epoch = epoch
@@ -542,4 +558,9 @@ class Trainer(BaseTrainer):
         for key in sorted(result):
             self.logger.info("  %s = %s", key, result[key])
         self._emit_metrics({"kind": "test", "epoch": epoch, **result})
+        if self.writer:
+            for k in ("eval_accuracy", "precision", "recall", "f_score",
+                      "loss"):
+                self.writer.add_scalar(f"test/{k}", result[k], epoch)
+            self.writer.flush()
         return result

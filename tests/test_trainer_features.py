@@ -63,11 +63,13 @@ def test_patience_early_stop(f1s, expected_epochs):
 
 def test_metrics_jsonl_records(tmp_path):
     """One real tiny run emits parseable train_window/dev/test/summary lines
-    consistent with the run's shape."""
+    consistent with the run's shape (and TensorBoard event files when
+    --tensorboard_dir is set — the reference's writer made functional)."""
     path = str(tmp_path / "m" / "metrics.jsonl")
+    tb_dir = str(tmp_path / "tb")
     cfg = tiny_test_config(batch_size=4, num_epochs=2, eval_begin_epoch=1,
                            save_path=None, steps_per_dispatch=2, log_steps=2,
-                           metrics_jsonl=path)
+                           metrics_jsonl=path, tensorboard_dir=tb_dir)
     data = [_tiny_batch(cfg, seed=s) for s in range(2)]
     dev = [_tiny_batch(cfg, seed=7)]
     tr = Trainer(train_data=data, dev_data=dev, test_data=dev,
@@ -87,3 +89,8 @@ def test_metrics_jsonl_records(tmp_path):
     assert summary["samples_per_sec"] > 0
     dev_rec = next(r for r in records if r["kind"] == "dev")
     assert {"f_score", "eval_accuracy", "loss"} <= set(dev_rec)
+
+    import os
+    events = [f for _, _, fs in os.walk(tb_dir) for f in fs
+              if "tfevents" in f]
+    assert events, f"no TensorBoard event files under {tb_dir}"
