@@ -27,6 +27,11 @@ Endpoints:
                               latency percentiles, batch-fill stats
   POST /predict            -> body {"text": str, "image_b64": optional str}
                               -> {"label": int, "probs": [...]}
+  POST /reload             -> body {"load_path": str} — hot-swap to a new
+                              checkpoint of the SAME geometry with zero
+                              downtime (the new predictor is built and
+                              warmed while the old one keeps serving, then
+                              swapped atomically)
 """
 
 from __future__ import annotations
@@ -136,6 +141,7 @@ class ServiceStats:
         self.requests_total = 0
         self.errors_total = 0
         self.flushes_total = 0
+        self.reloads_total = 0
         self._latencies_ms = deque(maxlen=self.WINDOW)
         self._batch_sizes = deque(maxlen=self.WINDOW)
 
@@ -152,6 +158,10 @@ class ServiceStats:
             self.flushes_total += 1
             self._batch_sizes.append(batch_size)
 
+    def record_reload(self) -> None:
+        with self._lock:
+            self.reloads_total += 1
+
     def snapshot(self) -> Dict:
         with self._lock:
             lat = sorted(self._latencies_ms)
@@ -161,6 +171,7 @@ class ServiceStats:
                 "requests_total": self.requests_total,
                 "errors_total": self.errors_total,
                 "flushes_total": self.flushes_total,
+                "reloads_total": self.reloads_total,
             }
         if lat:
             pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]
@@ -188,7 +199,11 @@ class InferenceService:
         fallback_image: Optional[str] = None,
         max_wait_ms: float = 5.0,
         label_names: Optional[Sequence[str]] = None,
+        predictor_factory: Optional[Callable[..., object]] = None,
     ):
+        """``predictor_factory(load_path)`` enables POST /reload: it must
+        return a fully-warmed Predictor for that checkpoint (d2r-serve wires
+        one that re-runs its own restore+quantize+warmup pipeline)."""
         self.predictor = predictor
         self.tokenizer = tokenizer
         self.raw_uint8 = raw_uint8
@@ -197,6 +212,8 @@ class InferenceService:
         vc = predictor.cfg.vision_config()
         self.image_size = vc.image_size
         self.label_names = list(label_names) if label_names else None
+        self.predictor_factory = predictor_factory
+        self._reload_lock = threading.Lock()
         self.stats = ServiceStats()
         self.batcher = MicroBatcher(
             self._run_batch,
@@ -232,6 +249,39 @@ class InferenceService:
                 r["label_name"] = self.label_names[r["label"]]
             results.append(r)
         return results
+
+    # -- hot checkpoint reload -------------------------------------------
+    def reload(self, load_path: str) -> None:
+        """Swap in a new checkpoint with zero downtime.
+
+        The factory builds AND WARMS the new predictor while the current one
+        keeps serving (the batcher reads ``self.predictor`` per flush, so
+        the attribute assignment is the atomic cutover; an in-flight flush
+        finishes on the old model). Geometry is guarded twice: the factory's
+        own config.json check, plus the seq/image guards here — the
+        service's tokenizer and preprocessing are shared state, so a
+        checkpoint that needs different ones must be a new server, not a
+        reload."""
+        if self.predictor_factory is None:
+            raise RuntimeError(
+                "hot reload is not configured (no predictor_factory)")
+        if not self._reload_lock.acquire(blocking=False):
+            raise BlockingIOError("another reload is already in progress")
+        try:
+            new = self.predictor_factory(load_path)
+            if new.seq_len != self.max_seq:
+                raise ValueError(
+                    f"reload checkpoint max_seq {new.seq_len} != serving "
+                    f"max_seq {self.max_seq}")
+            vc = new.cfg.vision_config()
+            if vc.image_size != self.image_size:
+                raise ValueError(
+                    f"reload checkpoint image_size {vc.image_size} != "
+                    f"serving image_size {self.image_size}")
+            self.predictor = new
+            self.stats.record_reload()
+        finally:
+            self._reload_lock.release()
 
     # -- public entry ---------------------------------------------------
     def predict_one(self, text: str, image_bytes: Optional[bytes] = None,
@@ -277,6 +327,29 @@ def _make_handler(service: InferenceService):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    load_path = req.get("load_path")
+                    if not isinstance(load_path, str) or not load_path:
+                        self._json(400, {"error":
+                                         "'load_path' (string) is required"})
+                        return
+                except Exception as e:  # noqa: BLE001 — malformed request
+                    self._json(400, {"error": f"bad request: {repr(e)[:400]}"})
+                    return
+                try:
+                    service.reload(load_path)
+                    self._json(200, {"status": "reloaded",
+                                     "load_path": load_path})
+                except BlockingIOError as e:
+                    self._json(409, {"error": str(e)})
+                except (ValueError, FileNotFoundError) as e:
+                    self._json(400, {"error": repr(e)[:500]})
+                except Exception as e:  # noqa: BLE001 — keep serving
+                    self._json(500, {"error": repr(e)[:500]})
+                return
             if self.path != "/predict":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
@@ -425,7 +498,6 @@ def main(argv=None):
         num_classes=args.num_classes, compute_dtype=args.compute_dtype)
     tokenizer = load_tokenizer(args.vocab_file or cfg.bert_name,
                                vocab_size=cfg.text_config().vocab_size)
-    variables = restore_variables(args.load_path)
     mesh = None
     if args.dp * args.tp > 1:
         from d2r_tpu.parallel.mesh import make_mesh
@@ -435,15 +507,25 @@ def main(argv=None):
             mesh = make_mesh((args.dp,), ("data",))
         print(f"multi-chip serving over mesh "
               f"{dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
-    predictor = Predictor(
-        cfg, variables, mesh=mesh, quantize=args.quantize,
-        batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")))
-    if not args.no_warmup:
-        print("warming up (one compile per batch bucket)...", flush=True)
-        predictor.warmup(pixel_dtype=jnp.uint8)
+    buckets = tuple(int(b) for b in args.batch_buckets.split(","))
+
+    def build_predictor(load_path: str):
+        """Shared restore->quantize->warmup pipeline; also the POST /reload
+        factory (same geometry enforced via the checkpoint's config.json)."""
+        from d2r_tpu.train.checkpoint import check_checkpoint_geometry
+        check_checkpoint_geometry(load_path, cfg)
+        pred = Predictor(cfg, restore_variables(load_path), mesh=mesh,
+                         quantize=args.quantize, batch_buckets=buckets)
+        if not args.no_warmup:
+            print("warming up (one compile per batch bucket)...", flush=True)
+            pred.warmup(pixel_dtype=jnp.uint8)
+        return pred
+
+    predictor = build_predictor(args.load_path)
     service = InferenceService(predictor, tokenizer,
                                fallback_image=args.fallback_image,
-                               max_wait_ms=args.max_wait_ms)
+                               max_wait_ms=args.max_wait_ms,
+                               predictor_factory=build_predictor)
     server = make_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(buckets {predictor.batch_buckets}, seq {predictor.seq_len})",

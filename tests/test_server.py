@@ -152,6 +152,66 @@ class TestPreprocess:
             svc.close()
 
 
+# -------------------------------------------------------- hot reload
+class _BiasedPredictor(_FakePredictor):
+    """Distinguishable constant distribution, for swap assertions."""
+
+    def __init__(self, cfg, probs, **kw):
+        super().__init__(cfg, **kw)
+        self._probs = np.asarray(probs, np.float32)
+
+    def predict(self, input_ids, attention_mask, token_type_ids,
+                pixel_values):
+        n = input_ids.shape[0]
+        probs = np.tile(self._probs, (n, 1))
+        return {"label": probs.argmax(-1), "probs": probs}
+
+
+class TestReload:
+    def test_swap_guards_and_busy_lock(self):
+        from d2r_tpu.config import tiny_test_config
+        from d2r_tpu.data.tokenizer import load_tokenizer
+
+        cfg = tiny_test_config()
+        tok = load_tokenizer("nonexistent-tiny",
+                             vocab_size=cfg.text_config().vocab_size)
+        built = {}
+
+        def factory(load_path):
+            if load_path == "wrong-seq":
+                bad = tiny_test_config(max_seq=cfg.max_seq * 2)
+                return _BiasedPredictor(bad, [1, 0, 0])
+            built["path"] = load_path
+            return _BiasedPredictor(cfg, [0, 0, 1])
+
+        svc = InferenceService(_BiasedPredictor(cfg, [1, 0, 0]), tok,
+                               predictor_factory=factory)
+        try:
+            assert svc.predict_one("x")["label"] == 0
+            svc.reload("ckpt-b")
+            assert built["path"] == "ckpt-b"
+            assert svc.predict_one("x")["label"] == 2  # swapped
+            assert svc.stats.snapshot()["reloads_total"] == 1
+
+            with pytest.raises(ValueError, match="max_seq"):
+                svc.reload("wrong-seq")
+            assert svc.predict_one("x")["label"] == 2  # old model kept
+
+            with svc._reload_lock:  # simulate an in-flight reload
+                with pytest.raises(BlockingIOError):
+                    svc.reload("ckpt-c")
+        finally:
+            svc.close()
+
+    def test_reload_unconfigured_raises(self):
+        svc, _ = _tiny_service()
+        try:
+            with pytest.raises(RuntimeError, match="not configured"):
+                svc.reload("anywhere")
+        finally:
+            svc.close()
+
+
 # ----------------------------------------------------------- HTTP e2e
 def _post(url, payload, timeout=120):
     req = urllib.request.Request(
@@ -195,8 +255,25 @@ class TestHTTPEndToEnd:
         pred.warmup(pixel_dtype=jnp.uint8)
         tok = load_tokenizer("nonexistent-tiny",
                              vocab_size=cfg.text_config().vocab_size)
+
+        def factory(load_path):
+            # POST /reload factory: "seed-N" -> same geometry, new init
+            seed = int(load_path.rsplit("-", 1)[-1])
+            v2 = jax.jit(model.init)(
+                jax.random.key(seed),
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["token_type_ids"]),
+                jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["pixel_values"]))
+            p2 = Predictor(cfg, v2, batch_buckets=(2,),
+                           seq_buckets=(cfg.max_seq,))
+            p2.warmup(pixel_dtype=jnp.uint8)
+            return p2
+
         svc = InferenceService(pred, tok, raw_uint8=True, max_wait_ms=20.0,
-                               label_names=("neutral", "positive", "negative"))
+                               label_names=("neutral", "positive", "negative"),
+                               predictor_factory=factory)
         httpd = make_server(svc, "127.0.0.1", 0)
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
@@ -273,3 +350,26 @@ class TestHTTPEndToEnd:
         probs = np.array([o["probs"] for _, o in outs])
         np.testing.assert_allclose(
             probs, np.broadcast_to(probs[0], probs.shape), atol=2e-5)
+
+    def test_http_reload_swaps_model(self, server):
+        """POST /reload hot-swaps to a same-geometry checkpoint with zero
+        downtime: predictions change, counters tick, bad bodies get 400.
+        Runs LAST in this class — it permanently swaps the fixture model."""
+        url, cfg = server
+        payload = {"text": "stable request for the swap check"}
+        _, before = _post(url + "/predict", payload)
+
+        status, body = _post(url + "/reload", {"not_load_path": 1})
+        assert status == 400 and "load_path" in body["error"]
+
+        status, body = _post(url + "/reload", {"load_path": "seed-7"})
+        assert status == 200, body
+        assert body["status"] == "reloaded"
+
+        status, after = _post(url + "/predict", payload)
+        assert status == 200
+        assert not np.allclose(before["probs"], after["probs"], atol=1e-6), \
+            "reload did not change the served parameters"
+        with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+            m = json.loads(r.read())
+        assert m["reloads_total"] == 1
