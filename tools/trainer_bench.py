@@ -49,7 +49,7 @@ class SyntheticLoader:
 DISK_BATCHES = 8  # disk mode writes real JPEGs: keep the dataset small
 
 
-def _disk_loader(cfg, vc, cache_items: bool):
+def _disk_loader(cfg, vc, cache_items: bool, workers: int):
     """REAL pipeline: fake JPEGs on disk -> MSDDataset -> DataLoader."""
     import tempfile
 
@@ -66,11 +66,11 @@ def _disk_loader(cfg, vc, cache_items: bool):
                     num_vision_tokens=vc.num_tokens,
                     pixel_transfer=cfg.pixel_transfer,
                     cache_items=cache_items)
-    return DataLoader(ds, BATCH, shuffle=True, num_workers=8, seed=0)
+    return DataLoader(ds, BATCH, shuffle=True, num_workers=workers, seed=0)
 
 
 def run(pixel_transfer: str, pipeline: str = "synthetic",
-        cache_items: bool = False) -> dict:
+        cache_items: bool = False, workers: int = 8) -> dict:
     import numpy as np
 
     import jax
@@ -87,7 +87,7 @@ def run(pixel_transfer: str, pipeline: str = "synthetic",
                     pixel_transfer=pixel_transfer)
     vc = cfg.vision_config()
     if pipeline == "disk":
-        loader = _disk_loader(cfg, vc, cache_items)
+        loader = _disk_loader(cfg, vc, cache_items, workers)
         pixel_bytes = (3 * vc.image_size ** 2 * BATCH *
                        (1 if pixel_transfer == "uint8" else 4))
     else:
@@ -122,6 +122,7 @@ def run(pixel_transfer: str, pipeline: str = "synthetic",
         "pixel_transfer": pixel_transfer,
         "pipeline": pipeline,
         "cache_items": cache_items,
+        "workers": workers,
         "trainer_samples_per_sec": round(samples / elapsed, 1),
         "elapsed_s": round(elapsed, 2),
         "warm_epoch_s": round(warm_s, 1),
@@ -139,6 +140,8 @@ def main():
     ap.add_argument("--cache_items", action="store_true",
                     help="disk mode: memoise items so the timed epoch is "
                          "all cache hits")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="disk mode: DataLoader thread count")
     ap.add_argument("--out", default="/tmp/trainer_bench.jsonl")
     args = ap.parse_args()
 
@@ -154,7 +157,7 @@ def main():
     for mode in modes:
         try:
             result = run(mode, pipeline=args.pipeline,
-                         cache_items=args.cache_items)
+                         cache_items=args.cache_items, workers=args.workers)
         except Exception as e:
             result = {"pixel_transfer": mode, "error": repr(e)[:500]}
         line = json.dumps(result)
