@@ -125,3 +125,47 @@ def test_two_process_training_matches_single(tmp_path):
     single_loss = _final_test_loss(oracle.stdout + oracle.stderr)
 
     np.testing.assert_allclose(multi_loss, single_loss, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_auto_resume_restores_without_retraining(tmp_path):
+    """Multi-host --auto_resume mechanics: the collective resume save from a
+    2-process run restores on a fresh 2-process cluster (rank-0 meta +
+    orbax restore into the mesh-sharded template), training is skipped
+    (all epochs completed), and the best-model test loss is IDENTICAL."""
+    from d2r_tpu.data.dataset import write_fake_dataset
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = write_fake_dataset(str(tmp_path / "ds"), n=12, image_size=224)
+    env = cpu_rank_env(4)
+    shared_out = str(tmp_path / "out_resume")
+
+    def run_pod():
+        port = free_port()
+        procs = []
+        for rank in range(2):
+            cmd = tiny_train_cmd(paths, shared_out, extra=[
+                "--coordinator_address", f"127.0.0.1:{port}",
+                "--num_processes", "2", "--process_id", str(rank),
+                "--auto_resume"])
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=REPO, text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        with ThreadPoolExecutor(len(procs)) as pool:
+            outs = list(pool.map(lambda p: p.communicate(timeout=1500)[0],
+                                 procs))
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        return outs
+
+    first = run_pod()
+    loss_a = _final_test_loss(first[0])
+    assert "Auto-resume" not in first[0]  # nothing to resume yet
+
+    second = run_pod()
+    assert "Auto-resume" in second[0]
+    # all epochs were already complete: no train-window logging happens
+    assert "Running training" in second[0]
+    assert "epoch 1 step" not in second[0].split("Auto-resume")[1]
+    loss_b = _final_test_loss(second[0])
+    assert loss_b == loss_a  # pure restore -> bit-identical test loss
