@@ -27,6 +27,10 @@ Endpoints:
                               latency percentiles, batch-fill stats
   POST /predict            -> body {"text": str, "image_b64": optional str}
                               -> {"label": int, "probs": [...]}
+  POST /predict_batch      -> body {"items": [<predict bodies>]}
+                              -> {"results": [...]} (order-preserving; the
+                              whole list is submitted to the micro-batcher
+                              at once, so it shares device launches)
   POST /reload             -> body {"load_path": str} — hot-swap to a new
                               checkpoint of the SAME geometry with zero
                               downtime (the new predictor is built and
@@ -296,6 +300,27 @@ class InferenceService:
         self.stats.record_request((time.monotonic() - t0) * 1e3, ok=True)
         return result
 
+    def predict_many(self, requests: List[tuple],
+                     timeout: Optional[float] = 120.0) -> List[Dict]:
+        """Bulk path: preprocess everything, enqueue ALL futures before
+        waiting on any (one client's list fills whole micro-batches instead
+        of trickling through max_wait windows). ``requests`` is a list of
+        (text, image_bytes-or-None); results keep the input order."""
+        t0 = time.monotonic()
+        try:
+            futs = [self.batcher.submit(self.preprocess(text, img))
+                    for text, img in requests]
+            results = [f.result(timeout=timeout) for f in futs]
+        except Exception:
+            for _ in requests:
+                self.stats.record_request(
+                    (time.monotonic() - t0) * 1e3, ok=False)
+            raise
+        per = (time.monotonic() - t0) * 1e3 / max(len(requests), 1)
+        for _ in requests:
+            self.stats.record_request(per, ok=True)
+        return results
+
     def close(self):
         self.batcher.close()
 
@@ -350,32 +375,53 @@ def _make_handler(service: InferenceService):
                 except Exception as e:  # noqa: BLE001 — keep serving
                     self._json(500, {"error": repr(e)[:500]})
                 return
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/predict_batch"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
-            # Client errors (bad JSON, bad base64, wrong types) -> 400 so
-            # retry policies / load balancers don't re-send the unfixable.
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+
+            def parse_item(req):
+                """-> (text, image_bytes). Raises ValueError on bad input."""
                 if not isinstance(req, dict):
-                    raise ValueError("request body must be a JSON object")
+                    raise ValueError("each item must be a JSON object")
                 text = req.get("text")
                 if not isinstance(text, str):
-                    self._json(400, {"error": "'text' (string) is required"})
-                    return
+                    raise ValueError("'text' (string) is required")
                 image_bytes = None
                 if req.get("image_b64"):
                     # tolerate MIME/PEM-style whitespace wrapping (newlines
                     # every 76 chars) while still rejecting garbage
                     b64 = "".join(req["image_b64"].split())
                     image_bytes = base64.b64decode(b64, validate=True)
+                return text, image_bytes
+
+            # Client errors (bad JSON, bad base64, wrong types) -> 400 so
+            # retry policies / load balancers don't re-send the unfixable.
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/predict_batch":
+                    items = req.get("items") if isinstance(req, dict) else None
+                    if not isinstance(items, list) or not items:
+                        raise ValueError(
+                            "'items' (non-empty list of predict bodies) "
+                            "is required")
+                    if len(items) > 512:
+                        raise ValueError(
+                            f"too many items ({len(items)} > 512); chunk "
+                            f"the request")
+                    requests = [parse_item(it) for it in items]
+                else:
+                    requests = None
+                    text, image_bytes = parse_item(req)
             except Exception as e:  # noqa: BLE001 — malformed request
                 self._json(400, {"error": f"bad request: {repr(e)[:400]}"})
                 return
             try:
-                result = service.predict_one(text, image_bytes)
-                self._json(200, result)
+                if requests is not None:
+                    self._json(200,
+                               {"results": service.predict_many(requests)})
+                else:
+                    self._json(200, service.predict_one(text, image_bytes))
             except Exception as e:  # noqa: BLE001 — serving must not die
                 self._json(500, {"error": repr(e)[:500]})
 

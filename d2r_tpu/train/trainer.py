@@ -372,7 +372,15 @@ class Trainer(BaseTrainer):
         check_checkpoint_geometry(cfg.save_path, cfg)
         for field, mine in (("seed", cfg.seed),
                             ("num_epochs", cfg.num_epochs),
-                            ("train_num_steps", self.train_num_steps)):
+                            ("train_num_steps", self.train_num_steps),
+                            # these two change the opt_state STRUCTURE: a
+                            # toggle across the interruption makes the full
+                            # restore fail loudly below, but warn first so
+                            # the cause is obvious
+                            ("freeze_towers",
+                             getattr(cfg, "freeze_towers", False)),
+                            ("optimizer_impl",
+                             getattr(cfg, "optimizer_impl", "grouped"))):
             theirs = meta.get(field, mine)
             if theirs != mine:
                 # resumable, but no longer a bit-exact continuation (the
@@ -427,6 +435,8 @@ class Trainer(BaseTrainer):
             "train_num_steps": self.train_num_steps,
             "early_stopped": early_stopped,
             "last_improve_epoch": self.last_improve_epoch,
+            "freeze_towers": getattr(cfg, "freeze_towers", False),
+            "optimizer_impl": getattr(cfg, "optimizer_impl", "grouped"),
         })
         if jax.process_index() == 0:
             # the geometry guard for a future resuming process; the best-model

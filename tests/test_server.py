@@ -351,6 +351,32 @@ class TestHTTPEndToEnd:
         np.testing.assert_allclose(
             probs, np.broadcast_to(probs[0], probs.shape), atol=2e-5)
 
+    def test_predict_batch(self, server):
+        """/predict_batch: order-preserving bulk results that agree with
+        the single-request path; malformed and oversize bodies get 400."""
+        url, cfg = server
+        texts = ["bulk one", "bulk two", "bulk one"]
+        status, body = _post(url + "/predict_batch",
+                             {"items": [{"text": t} for t in texts]})
+        assert status == 200, body
+        results = body["results"]
+        assert len(results) == 3
+        # identical inputs -> identical outputs, in order
+        np.testing.assert_allclose(results[0]["probs"], results[2]["probs"],
+                                   atol=2e-5)
+        _, single = _post(url + "/predict", {"text": "bulk one"})
+        np.testing.assert_allclose(results[0]["probs"], single["probs"],
+                                   atol=2e-5)
+
+        status, body = _post(url + "/predict_batch", {"items": []})
+        assert status == 400 and "items" in body["error"]
+        status, body = _post(url + "/predict_batch",
+                             {"items": [{"text": "x"}, {"no_text": 1}]})
+        assert status == 400
+        status, body = _post(url + "/predict_batch",
+                             {"items": [{"text": "x"}] * 513})
+        assert status == 400 and "too many" in body["error"]
+
     def test_http_reload_swaps_model(self, server):
         """POST /reload hot-swaps to a same-geometry checkpoint with zero
         downtime: predictions change, counters tick, bad bodies get 400.
