@@ -117,6 +117,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_jsonl", default=None, type=str,
                    help="append per-window/eval/summary metrics as JSON "
                         "lines to this file")
+    p.add_argument("--dry_run", action="store_true",
+                   help="validate the config without data: build the model, "
+                        "compile ONE real train step on the configured mesh, "
+                        "and print a JSON line with the parameter count and "
+                        "the compiler's FLOPs/bytes per step, then exit")
     p.add_argument("--freeze_towers", action="store_true",
                    help="linear-probe mode: freeze the pretrained text and "
                         "vision towers; train only the routing fabric, "
@@ -266,6 +271,60 @@ def config_from_args(args) -> D2RConfig:
     )
 
 
+def _dry_run(cfg, logger):
+    """--dry_run: compile the REAL train step (same jit, same mesh, same
+    shapes) against a synthetic batch and report the parameter count plus
+    the compiler's own cost model — a config/geometry/memory check that
+    needs no dataset and writes nothing. No reference equivalent."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from d2r_tpu.data.dataset import synthetic_batch
+    from d2r_tpu.models.unimo import D2RClassifier
+    from d2r_tpu.parallel.mesh import make_mesh, shard_batch
+    from d2r_tpu.train.state import create_train_state, make_train_step
+
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(cfg.batch_size, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=0)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    cost = {}
+    with mesh:
+        state = create_train_state(model, cfg, None,
+                                   jax.random.key(cfg.seed), batch,
+                                   total_steps=max(cfg.num_epochs, 1))
+        step = make_train_step(model)
+        try:
+            compiled = step.lower(state, shard_batch(batch, mesh),
+                                  jax.random.key(cfg.seed + 1)).compile()
+            c = compiled.cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0] if c else {}
+            cost = dict(c or {})
+        except Exception as e:  # noqa: BLE001 — cost model is best-effort
+            logger.warning("dry_run: step compile/cost analysis failed: %r",
+                           e)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(state.params))
+    line = {
+        "dry_run": True,
+        "params": n_params,
+        "flops_per_step": cost.get("flops"),
+        "bytes_accessed_per_step": cost.get("bytes accessed"),
+        "devices": jax.device_count(),
+        "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)),
+        "batch_size": cfg.batch_size,
+        "max_seq": cfg.max_seq,
+        "compute_dtype": cfg.compute_dtype,
+    }
+    print(json.dumps(line), flush=True)
+    logger.info("dry run OK")
+    return line
+
+
 def main(argv=None) -> None:
     args = build_arg_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -294,6 +353,11 @@ def main(argv=None) -> None:
     # explicitly, so cfg.seed fully determines init + dropout + shuffling.
     import numpy as np
     np.random.seed(cfg.seed)
+
+    if args.dry_run:
+        # config validation without any dataset: compile the real step,
+        # report what the compiler says it costs, exit.
+        return _dry_run(cfg, logger)
 
     if cfg.save_path is not None:
         os.makedirs(cfg.save_path, exist_ok=True)

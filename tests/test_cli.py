@@ -43,6 +43,23 @@ def test_round3_trainer_flags_round_trip():
     assert dflt.cache_items is False and dflt.async_checkpoint is False
 
 
+def test_dry_run_reports_params_and_cost():
+    """--dry_run compiles one real train step with no dataset and reports
+    the parameter count + compiler cost model as one JSON line."""
+    from d2r_tpu.cli import main
+
+    line = main(["--dry_run", "--device", "cpu", "--bert_name", "tiny-bert",
+                 "--vit_name", "tiny-vit", "--embed_size", "64",
+                 "--num_head_IMRC", "4", "--hid_IMRC", "64",
+                 "--hid_router", "32", "--max_seq", "16",
+                 "--batch_size", "8", "--no_pallas",
+                 "--compute_dtype", "float32"])
+    assert line["dry_run"] is True
+    assert line["params"] > 10 ** 6
+    assert line["flops_per_step"] is None or line["flops_per_step"] > 0
+    assert line["batch_size"] == 8 and line["max_seq"] == 16
+
+
 def test_recipe_flags_round_trip():
     # the run.sh MVSA-Single recipe (ref: run.sh:1-21)
     argv = ("--num_epochs 20 --lr 1e-5 --warmup_ratio 0.2 --seed 2023 "
