@@ -65,6 +65,14 @@ VARIANTS = {
     # numerics; error bounds in tests/test_qdot.py.
     "int8_train": {"quant_train": "int8"},
     "int8_all_train": {"quant_train": "int8_all"},
+    # BASELINE config 2: SenticNet graph refinement enabled — the optional
+    # GCN over the affective adjacency (models/graph.py, --use_sentic_graph)
+    # adds a (B,L,L) host-built input + one batched matmul-sized layer; this
+    # measures its step cost vs the flagship recipe (adjacency values are
+    # synthetic; the graph math is what costs, not the lexicon lookups,
+    # which live host-side in the loader).
+    "sentic": {"use_sentic_graph": True, "_sentic_adj": True,
+               "_uint8_pixels": True},
     # BASELINE config 4 measured: RoBERTa-large + ViT-L/14 geometry through
     # the same fabric (random init — a THROUGHPUT artifact; accuracy parity
     # for scaled towers is the converter's job). 925.7M params -> 3.45 GB
@@ -111,6 +119,7 @@ def measure(overrides):
     batch_size = overrides.pop("_batch_size", BATCH_SIZE)
     max_seq = overrides.pop("_max_seq", MAX_SEQ)
     uint8_pixels = overrides.pop("_uint8_pixels", False)
+    sentic_adj = overrides.pop("_sentic_adj", False)
     if overrides.pop("_small_kernel", False):
         attention.SMALL_KERNEL_OPT_IN = True
     if overrides.pop("_pad_ragged", False):
@@ -130,6 +139,11 @@ def measure(overrides):
         # normalisation — 4x smaller stacked input buffers for big batches
         batch_np["pixel_values"] = np.random.RandomState(0).randint(
             0, 256, size=batch_np["pixel_values"].shape).astype(np.uint8)
+    if sentic_adj:
+        # what the loader ships when --use_sentic_graph is on: a dense
+        # (B, L, L) affective adjacency (values are irrelevant to step cost)
+        batch_np["sentic_adj"] = np.random.RandomState(1).uniform(
+            0.0, 2.0, size=(batch_size, max_seq, max_seq)).astype(np.float32)
     batch = {k: jax.device_put(v) for k, v in batch_np.items()}
     state = create_train_state(model, cfg, None, jax.random.key(0), batch,
                                total_steps=1000)
