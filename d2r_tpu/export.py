@@ -229,6 +229,14 @@ def main(argv=None):
                          "(d2r_tpu/quant.py); the loader re-quantizes the "
                          "paired checkpoint per the manifest")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--format", default="stablehlo",
+                    choices=["stablehlo", "torch"],
+                    help="'stablehlo': AOT serving artifact (default). "
+                         "'torch': write <out_dir>/best_model.pth — a "
+                         "reference-compatible state_dict that the PyTorch "
+                         "reference loads with strict=True (utils/"
+                         "export_torch.py; round-trip parity pinned by "
+                         "tests/parity/test_export_torch.py)")
     args = ap.parse_args(argv)
 
     if args.device:
@@ -241,6 +249,15 @@ def main(argv=None):
     enable_compilation_cache()
     cfg = resolve_serve_config(args.load_path, config_json=args.config_json)
     variables = restore_variables(args.load_path)
+
+    if args.format == "torch":
+        from d2r_tpu.utils.export_torch import save_reference_checkpoint
+        os.makedirs(args.out_dir, exist_ok=True)
+        path = os.path.join(args.out_dir, "best_model.pth")
+        sd = save_reference_checkpoint(path, variables)
+        print(json.dumps({"out_dir": args.out_dir, "format": "torch",
+                          "file": path, "keys": len(sd)}))
+        return
     manifest = export_predictor(
         cfg, variables, args.out_dir,
         batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")),
