@@ -24,7 +24,10 @@ loop, ref: modules/train.py:220-278). TPU-native serving design:
 Endpoints:
   GET  /healthz            -> {"status": "ok", ...}
   GET  /metrics            -> request/error/flush counters, end-to-end
-                              latency percentiles, batch-fill stats
+                              latency percentiles, batch-fill stats (JSON;
+                              ?format=prometheus or an openmetrics/text
+                              Accept header returns the Prometheus
+                              exposition format for standard scrapers)
   POST /predict            -> body {"text": str, "image_b64": optional str}
                               -> {"label": int, "probs": [...]}
   POST /predict_batch      -> body {"items": [<predict bodies>]}
@@ -190,6 +193,59 @@ class ServiceStats:
         return out
 
 
+def prometheus_text(snapshot: Dict) -> str:
+    """Render a ServiceStats snapshot in the Prometheus exposition format
+    (one scrape surface for standard monitoring stacks; the JSON twin stays
+    at plain GET /metrics). Counters keep Prometheus naming (_total); the
+    recent-window percentiles export as quantile-labelled gauges."""
+    lines = [
+        "# HELP d2r_uptime_seconds Seconds since the service started.",
+        "# TYPE d2r_uptime_seconds gauge",
+        f"d2r_uptime_seconds {snapshot['uptime_s']:.3f}",
+    ]
+    for name, help_ in (("requests", "prediction requests handled"),
+                        ("errors", "requests that raised"),
+                        ("flushes", "micro-batch device launches"),
+                        ("reloads", "hot checkpoint reloads")):
+        lines += [
+            f"# HELP d2r_{name}_total Total {help_}.",
+            f"# TYPE d2r_{name}_total counter",
+            f"d2r_{name}_total {snapshot[f'{name}_total']}",
+        ]
+    lat = snapshot.get("latency_ms")
+    if lat:
+        lines += [
+            "# HELP d2r_request_latency_ms End-to-end request latency "
+            "(recent window).",
+            "# TYPE d2r_request_latency_ms gauge",
+        ]
+        for q in ("p50", "p90", "p99"):
+            lines.append(
+                f'd2r_request_latency_ms{{quantile="{q[1:]}"}} '
+                f"{lat[q]:.3f}")
+        lines.append(f'd2r_request_latency_ms{{quantile="max"}} '
+                     f"{lat['max']:.3f}")
+        lines += [
+            "# HELP d2r_request_latency_samples Latency samples in the "
+            "window.",
+            "# TYPE d2r_request_latency_samples gauge",
+            f"d2r_request_latency_samples {lat['count']}",
+        ]
+    bs = snapshot.get("batch_size")
+    if bs:
+        lines += [
+            "# HELP d2r_batch_fill_mean Mean micro-batch size "
+            "(recent window).",
+            "# TYPE d2r_batch_fill_mean gauge",
+            f"d2r_batch_fill_mean {bs['mean']:.3f}",
+            "# HELP d2r_batch_fill_max Max micro-batch size "
+            "(recent window).",
+            "# TYPE d2r_batch_fill_max gauge",
+            f"d2r_batch_fill_max {bs['max']}",
+        ]
+    return "\n".join(lines) + "\n"
+
+
 class InferenceService:
     """Raw-request preprocessing + micro-batched Predictor dispatch."""
 
@@ -346,8 +402,21 @@ def _make_handler(service: InferenceService):
                     "max_seq": service.max_seq,
                     "batch_buckets": list(service.predictor.batch_buckets),
                 })
-            elif self.path == "/metrics":
-                self._json(200, service.stats.snapshot())
+            elif self.path.split("?")[0] == "/metrics":
+                snap = service.stats.snapshot()
+                accept = self.headers.get("Accept", "")
+                if ("format=prometheus" in self.path
+                        or "openmetrics" in accept
+                        or accept.startswith("text/plain")):
+                    body = prometheus_text(snap).encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._json(200, snap)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

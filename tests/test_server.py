@@ -338,6 +338,30 @@ class TestHTTPEndToEnd:
         # errors_total only counts service-level failures
         assert after["errors_total"] == before["errors_total"]
 
+    def test_metrics_prometheus_format(self, server):
+        """GET /metrics?format=prometheus (or an openmetrics/text Accept
+        header) returns the exposition format with the same numbers the
+        JSON snapshot carries."""
+        url, cfg = server
+        status, _ = _post(url + "/predict", {"text": "prometheus sample"})
+        assert status == 200
+        with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+            js = json.loads(r.read())
+        with urllib.request.urlopen(
+                url + "/metrics?format=prometheus", timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert f"d2r_requests_total {js['requests_total']}" in text
+        assert f"d2r_flushes_total {js['flushes_total']}" in text
+        assert 'd2r_request_latency_ms{quantile="50"}' in text
+        assert "# TYPE d2r_requests_total counter" in text
+        # Accept-header negotiation (what a Prometheus scraper sends)
+        req = urllib.request.Request(
+            url + "/metrics",
+            headers={"Accept": "application/openmetrics-text; version=1.0"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+
     def test_concurrent_requests_share_launches(self, server):
         """Four parallel requests through the real stack all succeed and
         agree with a direct sequential call (padding rows can't leak)."""
