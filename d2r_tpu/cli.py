@@ -290,6 +290,14 @@ def _dry_run(cfg, logger):
     vc = cfg.vision_config()
     batch = synthetic_batch(cfg.batch_size, cfg.max_seq, vc.image_size,
                             vocab_size=cfg.text_config().vocab_size, seed=0)
+    if cfg.use_sentic_graph:
+        # Match the loader: a dense (B, L, L) affective adjacency. Without
+        # it the model traces WITHOUT the sentic GCN (models/unimo.py
+        # guards on sentic_adj is None) and dry_run would validate a
+        # different program than the real run compiles.
+        batch["sentic_adj"] = np.random.RandomState(1).uniform(
+            0.0, 2.0, size=(cfg.batch_size, cfg.max_seq, cfg.max_seq),
+        ).astype(np.float32)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     cost = {}
     with mesh:
@@ -298,8 +306,10 @@ def _dry_run(cfg, logger):
                                    total_steps=max(cfg.num_epochs, 1))
         step = make_train_step(model)
         try:
+            dropout_key = jax.random.key(
+                cfg.seed + 1, impl=getattr(cfg, "prng_impl", "threefry2x32"))
             compiled = step.lower(state, shard_batch(batch, mesh),
-                                  jax.random.key(cfg.seed + 1)).compile()
+                                  dropout_key).compile()
             c = compiled.cost_analysis()
             if isinstance(c, (list, tuple)):
                 c = c[0] if c else {}

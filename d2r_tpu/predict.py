@@ -37,10 +37,12 @@ import numpy as np
 
 def iter_samples(path: str) -> List[Dict]:
     """Read JSONL or a JSON array into a list of sample dicts."""
-    with open(path, "r", encoding="utf-8") as f:
-        head = f.read(1)
+    # utf-8-sig: transparently strip a BOM; sniff past leading whitespace
+    # so '\n[' / ' [' array files are not misparsed as JSONL.
+    with open(path, "r", encoding="utf-8-sig") as f:
+        head = f.read(64)
         f.seek(0)
-        if head == "[":
+        if head.lstrip()[:1] == "[":
             samples = json.load(f)
             if not isinstance(samples, list):
                 raise ValueError(f"{path}: JSON document is not an array")

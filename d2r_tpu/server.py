@@ -219,9 +219,10 @@ def prometheus_text(snapshot: Dict) -> str:
             "(recent window).",
             "# TYPE d2r_request_latency_ms gauge",
         ]
-        for q in ("p50", "p90", "p99"):
+        # standard Prometheus summary convention: quantile in [0, 1]
+        for q, qv in (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99")):
             lines.append(
-                f'd2r_request_latency_ms{{quantile="{q[1:]}"}} '
+                f'd2r_request_latency_ms{{quantile="{qv}"}} '
                 f"{lat[q]:.3f}")
         lines.append(f'd2r_request_latency_ms{{quantile="max"}} '
                      f"{lat['max']:.3f}")
@@ -363,18 +364,35 @@ class InferenceService:
         of trickling through max_wait windows). ``requests`` is a list of
         (text, image_bytes-or-None); results keep the input order."""
         t0 = time.monotonic()
+        # Preprocess EVERYTHING before the first submit: interleaving the
+        # (slow, host-side) preprocessing with submission lets the
+        # batcher's max_wait window expire between items and flushes
+        # micro-batches of ~1, defeating the bulk path.
         try:
-            futs = [self.batcher.submit(self.preprocess(text, img))
-                    for text, img in requests]
-            results = [f.result(timeout=timeout) for f in futs]
+            items = [self.preprocess(text, img) for text, img in requests]
         except Exception:
-            for _ in requests:
-                self.stats.record_request(
-                    (time.monotonic() - t0) * 1e3, ok=False)
+            self.stats.record_request((time.monotonic() - t0) * 1e3,
+                                      ok=False)
             raise
+        futs = [self.batcher.submit(item) for item in items]
+        results: List[Dict] = []
+        first_err: Optional[BaseException] = None
+        n_ok = 0
+        for f in futs:
+            try:
+                results.append(f.result(timeout=timeout))
+                n_ok += 1
+            except Exception as e:  # noqa: BLE001 — per-item accounting
+                results.append({})
+                if first_err is None:
+                    first_err = e
         per = (time.monotonic() - t0) * 1e3 / max(len(requests), 1)
-        for _ in requests:
-            self.stats.record_request(per, ok=True)
+        # Only items that actually failed count as errors; a single bad
+        # item must not report the whole batch as failed in /metrics.
+        for i in range(len(futs)):
+            self.stats.record_request(per, ok=i < n_ok)
+        if first_err is not None:
+            raise first_err
         return results
 
     def close(self):
@@ -542,6 +560,15 @@ def resolve_serve_config(load_path: str, config_json: Optional[str] = None,
             break
 
     base = loaded if loaded is not None else D2RConfig()
+    if getattr(base, "quant_train", "none") != "none":
+        # quant_train is a TRAINING-time knob (dynamic int8 projection
+        # dots); restoring it from config.json would silently serve
+        # quantized math the operator never asked for. Serving
+        # quantization is its own flag (--quantize), which quantizes the
+        # restored fp32 weights once instead of per-dot.
+        print(f"ignoring training-time quant_train={base.quant_train!r} "
+              "for serving (use --quantize for int8 serving)", flush=True)
+        base = base.replace(quant_train="none")
     fields = {}
     for name, default in _SERVE_DEFAULTS.items():
         if overrides.get(name) is not None:

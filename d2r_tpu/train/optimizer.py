@@ -310,10 +310,10 @@ def make_optimizer(cfg: D2RConfig, total_steps: int,
         # grads), it does not zero them — multi_transform routes each label
         # to its own transform.
         def labels(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda kp, _: ("frozen" if any(p in TOWER_MODULES
-                                               for p in _path_parts(kp))
-                               else "train"), params)
+            # single source of truth for the freezing scope: trainable_mask
+            return jax.tree_util.tree_map(
+                lambda trainable: "train" if trainable else "frozen",
+                trainable_mask(params))
         return optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()}, labels)
 

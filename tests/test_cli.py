@@ -60,6 +60,23 @@ def test_dry_run_reports_params_and_cost():
     assert line["batch_size"] == 8 and line["max_seq"] == 16
 
 
+def test_dry_run_includes_sentic_gcn_params():
+    """--dry_run --use_sentic_graph must validate the program the real run
+    compiles: the synthetic batch carries a sentic_adj so the GCN branch
+    traces (models/unimo.py skips it when sentic_adj is None)."""
+    from d2r_tpu.cli import main
+
+    tiny = ["--device", "cpu", "--bert_name", "tiny-bert",
+            "--vit_name", "tiny-vit", "--embed_size", "64",
+            "--num_head_IMRC", "4", "--hid_IMRC", "64",
+            "--hid_router", "32", "--max_seq", "16",
+            "--batch_size", "4", "--no_pallas",
+            "--compute_dtype", "float32"]
+    base = main(["--dry_run"] + tiny)
+    sentic = main(["--dry_run", "--use_sentic_graph"] + tiny)
+    assert sentic["params"] > base["params"]
+
+
 def test_recipe_flags_round_trip():
     # the run.sh MVSA-Single recipe (ref: run.sh:1-21)
     argv = ("--num_epochs 20 --lr 1e-5 --warmup_ratio 0.2 --seed 2023 "

@@ -59,6 +59,18 @@ class TestResolveServeConfig:
         cfg = resolve_serve_config(str(tmp_path / "best_model"))
         assert cfg == trained
 
+    def test_training_quant_train_not_restored(self, tmp_path):
+        # quant_train is a training-time knob: a checkpoint trained with
+        # --quant_train int8 must serve full-precision unless the operator
+        # asks for serving quantization explicitly (--quantize).
+        trained = tiny_test_config(quant_train="int8")
+        ckpt = str(tmp_path / "best_model")
+        self._write(ckpt, trained)
+        cfg = resolve_serve_config(ckpt)
+        assert cfg.quant_train == "none"
+        # everything else still comes from the checkpoint config
+        assert cfg.embed_size == trained.embed_size
+
     def test_cli_override_beats_config_json(self, tmp_path):
         trained = tiny_test_config(num_classes=3)
         self._write(str(tmp_path), trained)

@@ -23,6 +23,20 @@ def test_iter_samples_jsonl_and_array(tmp_path):
     assert iter_samples(str(arr)) == rows
 
 
+def test_iter_samples_array_with_leading_whitespace_and_bom(tmp_path):
+    rows = [{"id": "a", "text": "hi"}]
+    ws = tmp_path / "ws.json"
+    ws.write_text("\n  " + json.dumps(rows))
+    assert iter_samples(str(ws)) == rows
+    bom = tmp_path / "bom.json"
+    bom.write_bytes(b"\xef\xbb\xbf" + json.dumps(rows).encode())
+    assert iter_samples(str(bom)) == rows
+    # a BOM'd JSONL file decodes too
+    bom_jl = tmp_path / "bom.jsonl"
+    bom_jl.write_bytes(b"\xef\xbb\xbf" + json.dumps(rows[0]).encode() + b"\n")
+    assert iter_samples(str(bom_jl)) == rows
+
+
 def test_iter_samples_reports_bad_line(tmp_path):
     p = tmp_path / "bad.jsonl"
     p.write_text('{"id": 1, "text": "x"}\nnot json\n')

@@ -153,6 +153,51 @@ class TestPreprocess:
 
 
 # -------------------------------------------------------- hot reload
+class TestPredictMany:
+    def test_preprocesses_all_items_before_first_submit(self):
+        """Bulk path must finish ALL host-side preprocessing before the
+        first submit: interleaving lets the batcher's max_wait expire
+        between items and flushes micro-batches of ~1."""
+        svc, cfg = _tiny_service()
+        try:
+            order = []
+            real_pre, real_submit = svc.preprocess, svc.batcher.submit
+            svc.preprocess = lambda t, i: (order.append("pre"),
+                                           real_pre(t, i))[1]
+            svc.batcher.submit = lambda item: (order.append("submit"),
+                                               real_submit(item))[1]
+            out = svc.predict_many([("a", None), ("b", None), ("c", None)])
+            assert len(out) == 3
+            assert order == ["pre"] * 3 + ["submit"] * 3
+        finally:
+            svc.close()
+
+    def test_partial_failure_counts_only_failed_items(self):
+        """One bad item in a bulk request must not report the whole batch
+        as failed in /metrics."""
+        svc, cfg = _tiny_service()
+        try:
+            calls = []
+
+            def submit(item):
+                f = cf.Future()
+                if len(calls) == 1:
+                    f.set_exception(RuntimeError("boom"))
+                else:
+                    f.set_result({"label": 0, "probs": [1.0, 0.0]})
+                calls.append(item)
+                return f
+
+            svc.batcher.submit = submit
+            with pytest.raises(RuntimeError, match="boom"):
+                svc.predict_many([("a", None)] * 3)
+            snap = svc.stats.snapshot()
+            assert snap["requests_total"] == 3
+            assert snap["errors_total"] == 1
+        finally:
+            svc.close()
+
+
 class _BiasedPredictor(_FakePredictor):
     """Distinguishable constant distribution, for swap assertions."""
 
@@ -353,7 +398,9 @@ class TestHTTPEndToEnd:
             text = r.read().decode()
         assert f"d2r_requests_total {js['requests_total']}" in text
         assert f"d2r_flushes_total {js['flushes_total']}" in text
-        assert 'd2r_request_latency_ms{quantile="50"}' in text
+        # standard Prometheus summary convention: quantile in [0, 1]
+        assert 'd2r_request_latency_ms{quantile="0.5"}' in text
+        assert 'd2r_request_latency_ms{quantile="0.99"}' in text
         assert "# TYPE d2r_requests_total counter" in text
         # Accept-header negotiation (what a Prometheus scraper sends)
         req = urllib.request.Request(
