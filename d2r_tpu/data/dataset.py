@@ -243,12 +243,13 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, n: int) -> None:
-        """Fast-forward the per-epoch shuffle counter (preemption resume):
-        the NEXT ``__iter__`` shuffles with ``seed + n``. Each ``__iter__``
-        increments the counter, so an uninterrupted run's k-th iteration uses
-        ``seed + (k-1)``; the trainer computes the right ``n`` for its own
-        call pattern (it consumes one extra iteration up front for shape
-        init — see Trainer.train)."""
+        """Pin the shuffle stream: the NEXT ``__iter__`` shuffles with
+        ``seed + n``. Each ``__iter__`` still increments the counter, but
+        the trainer calls ``set_epoch(epoch)`` at the top of EVERY epoch
+        (see Trainer.train), so epoch k always shuffles with ``seed + k``
+        regardless of how many iterations shape-init or the
+        ``--pretrained_dir`` path consumed up front — which is also what
+        makes preemption auto-resume continue the exact order."""
         self._epoch = int(n)
 
     def _index_batches(self) -> List[np.ndarray]:

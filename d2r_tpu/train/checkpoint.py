@@ -67,12 +67,47 @@ def save_checkpoint(path: str, state, include_opt_state: bool = False,
         ckptr.save(path, payload, force=True)
 
 
+def _checkpoint_tree_metadata(path: str):
+    """Top-level metadata tree of a saved checkpoint (dict of subtrees with
+    ArrayMetadata leaves), or ``None`` when unavailable (legacy layouts)."""
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            tree = ckptr.metadata(path).item_metadata.tree
+        return tree if isinstance(tree, dict) else None
+    except Exception:  # noqa: BLE001 — metadata is an optimisation only
+        return None
+
+
 def restore_variables(path: str) -> Dict[str, Any]:
     """Restore a checkpoint as a raw ``{"params", "batch_stats"}`` variables
     dict for inference — no TrainState/optimizer template needed, so serving
-    can load any checkpoint (with or without saved opt_state)."""
+    can load any checkpoint (with or without saved opt_state).
+
+    When the checkpoint carries opt_state (``--save_opt_state`` /resume
+    slots: AdamW moments ≈ 2x params), a partial restore skips it entirely
+    instead of materialising ~3x the needed bytes just to drop them."""
+    path = _abs(path)
+    md = _checkpoint_tree_metadata(path)
+    if md is not None:
+        missing = {"params", "batch_stats"} - set(md)
+        if missing:
+            raise ValueError(
+                f"checkpoint at {path} lacks {sorted(missing)}; found "
+                f"{sorted(md)} — not a d2r_tpu model checkpoint")
+        if not ({"opt_state", "step"} & set(md)):
+            with ocp.StandardCheckpointer() as ckptr:
+                return dict(ckptr.restore(path))
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+            {k: md[k] for k in ("params", "batch_stats")})
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            restored = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(item=template,
+                                                  partial_restore=True))
+        return {"params": restored["params"],
+                "batch_stats": restored["batch_stats"]}
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(_abs(path))
+        restored = ckptr.restore(path)
     missing = {"params", "batch_stats"} - set(restored)
     if missing:
         raise ValueError(
@@ -221,13 +256,37 @@ def _rehost(tree):
 
 
 def restore_checkpoint(path: str, state):
-    """Restore params/batch_stats (and opt_state if present) into ``state``."""
+    """Restore params/batch_stats (and opt_state if present) into ``state``.
+
+    Whether the checkpoint carries opt_state is decided from its METADATA,
+    not by trying the full restore and swallowing whatever raises: a
+    structural mismatch in a checkpoint that DOES have opt_state (e.g. a
+    --freeze_towers / --optimizer_impl toggle across an interruption) must
+    fail loudly with the real error, not silently degrade to a params-only
+    restore that loses the schedule position."""
     path = _abs(path)
+    template: Dict[str, Any] = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+    }
+    md = _checkpoint_tree_metadata(path)
     with ocp.StandardCheckpointer() as ckptr:
-        template: Dict[str, Any] = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-        }
+        if md is not None:
+            if "opt_state" in md:
+                restored = _rehost(ckptr.restore(path, template | {
+                    "opt_state": state.opt_state, "step": state.step}))
+                return state.replace(
+                    params=restored["params"],
+                    batch_stats=restored["batch_stats"],
+                    opt_state=restored["opt_state"],
+                    step=restored["step"],
+                )
+            restored = _rehost(ckptr.restore(path, template))
+            return state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+            )
+        # metadata unavailable (legacy layout): probe-and-fallback
         try:
             restored = _rehost(ckptr.restore(path, template | {
                 "opt_state": state.opt_state, "step": state.step}))

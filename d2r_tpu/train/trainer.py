@@ -156,19 +156,29 @@ class Trainer(BaseTrainer):
             # flags-vs-checkpoint mismatch must fail in milliseconds.
             from d2r_tpu.train.checkpoint import check_checkpoint_geometry
             check_checkpoint_geometry(cfg.load_path, cfg)
+        will_resume = False
         if cfg.auto_resume and cfg.save_path is not None:
             # same early-fail guard for the resume checkpoint's config.json
             from d2r_tpu.train.checkpoint import (check_checkpoint_geometry,
                                                   load_resume_meta)
             if load_resume_meta(cfg.save_path) is not None:
                 check_checkpoint_geometry(cfg.save_path, cfg)
+                will_resume = True
         first_batch = next(iter(self.train_data))
         if self.state is None:
             self.init_state(first_batch, params=pretrained_params)
         if cfg.load_path is not None:
-            self.logger.info("Loading model from %s", cfg.load_path)
-            self.state = restore_checkpoint(cfg.load_path, self.state)
-            self.logger.info("Load model successful!")
+            if will_resume:
+                # the resume restore below supersedes it — don't pay a
+                # full (possibly multi-GB) restore just to overwrite it
+                self.logger.info(
+                    "auto_resume state found at %s; skipping the "
+                    "--load_path restore from %s", cfg.save_path,
+                    cfg.load_path)
+            else:
+                self.logger.info("Loading model from %s", cfg.load_path)
+                self.state = restore_checkpoint(cfg.load_path, self.state)
+                self.logger.info("Load model successful!")
 
         start_epoch = 1
         if cfg.auto_resume and cfg.save_path is not None:
@@ -179,7 +189,6 @@ class Trainer(BaseTrainer):
         t_start = time.time()
         seen = 0
         window_losses = []  # DEVICE loss scalars/vectors pending fetch
-        window_steps = 0
         last_log_step = 0
 
         def flush_log(epoch):
@@ -187,7 +196,7 @@ class Trainer(BaseTrainer):
             # of a ~27ms tunnel roundtrip per step (the round-1 trainer paid
             # float(loss) every step; bench and trainer now share the same
             # dispatch shape).
-            nonlocal window_losses, window_steps, last_log_step
+            nonlocal window_losses, last_log_step
             if not window_losses:
                 return
             if len(window_losses) == 1:
@@ -201,7 +210,7 @@ class Trainer(BaseTrainer):
                 self.writer.add_scalar("train_loss", avg, self.step)
             self._emit_metrics({"kind": "train_window", "epoch": epoch,
                                 "step": self.step, "loss": avg})
-            window_losses, window_steps = [], 0
+            window_losses = []
             last_log_step = self.step
 
         # --profile_dir: capture a device trace of the SECOND dispatch (the
@@ -228,7 +237,7 @@ class Trainer(BaseTrainer):
 
         def dispatch(buf, epoch):
             """Run len(buf) train steps in one device program."""
-            nonlocal seen, window_losses, window_steps
+            nonlocal seen, window_losses
             maybe_trace_dispatch(after=False)
             k = len(buf)
             for b in buf:
@@ -246,7 +255,6 @@ class Trainer(BaseTrainer):
                     self.state, stacked, dropout_rng)
                 window_losses.append(metrics["loss"])
                 self.step += 1
-                window_steps += 1
                 maybe_trace_dispatch(after=True)
                 if self.step - last_log_step >= cfg.log_steps:
                     flush_log(epoch)
@@ -266,7 +274,6 @@ class Trainer(BaseTrainer):
                     self.state, stacked, dropout_rng)
                 window_losses.append(metrics["losses"])
             self.step += k
-            window_steps += k
             maybe_trace_dispatch(after=True)
             if self.step - last_log_step >= cfg.log_steps:
                 flush_log(epoch)
@@ -277,6 +284,13 @@ class Trainer(BaseTrainer):
                               else max(int(cfg.steps_per_dispatch), 1))
         with self.mesh:
             for epoch in range(start_epoch, cfg.num_epochs + 1):
+                if hasattr(self.train_data, "set_epoch"):
+                    # Pin the shuffle stream to the epoch NUMBER, not to how
+                    # many __iter__s ran before this loop (shape-init takes
+                    # one; the --pretrained_dir path a second): epoch k
+                    # always shuffles with seed + k, so auto-resume
+                    # continues the exact uninterrupted order on every path.
+                    self.train_data.set_epoch(epoch)
                 buf = []
                 for batch in self.train_data:
                     buf.append(batch)
@@ -298,12 +312,16 @@ class Trainer(BaseTrainer):
                 if cfg.auto_resume and cfg.save_path is not None:
                     self._save_resume(epoch, early_stopped=stop_early)
                 if stop_early:
+                    # last_improve_epoch is what the patience clock runs on
+                    # (best_dev_epoch also advances on exact ties)
                     self.logger.info(
                         "Early stop at epoch %d: dev F1 has not improved "
                         "since epoch %d (patience %d)",
-                        epoch, self.best_dev_epoch, cfg.patience)
-                    self._emit_metrics({"kind": "early_stop", "epoch": epoch,
-                                        "best_dev_epoch": self.best_dev_epoch})
+                        epoch, self.last_improve_epoch, cfg.patience)
+                    self._emit_metrics({
+                        "kind": "early_stop", "epoch": epoch,
+                        "last_improve_epoch": self.last_improve_epoch,
+                        "best_dev_epoch": self.best_dev_epoch})
                     break
 
             elapsed = time.time() - t_start
@@ -338,7 +356,8 @@ class Trainer(BaseTrainer):
                 wait_for_async_saves()  # the best save may still be in flight
                 best = os.path.join(cfg.save_path, "best_model")
                 self.state = restore_checkpoint(best, self.state)
-                result = self.test(cfg.num_epochs)
+                if self.test_data is not None:
+                    result = self.test(cfg.num_epochs)
             elif self.test_data is not None:
                 result = self.test(cfg.num_epochs)
 
@@ -360,16 +379,14 @@ class Trainer(BaseTrainer):
     def _maybe_resume(self) -> int:
         """Restore an interrupted run from save_path/resume; returns the
         epoch to start from (1 when there is nothing to resume)."""
-        from d2r_tpu.train.checkpoint import (check_checkpoint_geometry,
-                                              load_resume_meta,
+        from d2r_tpu.train.checkpoint import (load_resume_meta,
                                               restore_resume_checkpoint)
         cfg = self.cfg
         meta = load_resume_meta(cfg.save_path)
         if meta is None:
             return 1
-        # the resume save wrote save_path/config.json — fail in milliseconds
-        # on a flags-vs-checkpoint geometry mismatch, before any compile
-        check_checkpoint_geometry(cfg.save_path, cfg)
+        # (geometry was already cross-checked against save_path/config.json
+        # in train(), pre-compile — the fail-fast point)
         for field, mine in (("seed", cfg.seed),
                             ("num_epochs", cfg.num_epochs),
                             ("train_num_steps", self.train_num_steps),
@@ -396,11 +413,8 @@ class Trainer(BaseTrainer):
         self.best_dev_epoch = meta.get("best_dev_epoch")
         self.last_improve_epoch = meta.get("last_improve_epoch")
         completed = int(meta["epoch"])
-        if hasattr(self.train_data, "set_epoch"):
-            # train() consumed one __iter__ up front for shape init, so an
-            # uninterrupted run's epoch-k iteration shuffles with seed + k;
-            # make the upcoming epoch (completed+1) match.
-            self.train_data.set_epoch(completed + 1)
+        # (no set_epoch needed here: the epoch loop pins the shuffle stream
+        # to the epoch number at the top of every epoch)
         if meta.get("early_stopped"):
             # the interrupted run had already decided to stop — don't train
             # further epochs, go straight to the best-model test pass
@@ -425,6 +439,12 @@ class Trainer(BaseTrainer):
         # must not claim an epoch whose (async) best-model save could still
         # be lost to a preemption
         wait_for_async_saves()
+        if jax.process_index() == 0:
+            # (Re)write the geometry guard BEFORE the resume meta publishes:
+            # a crash in between must not leave a resumable checkpoint
+            # guarded by a stale config.json from a previous run in the same
+            # save_path — or by nothing at all.
+            save_config_json(cfg, os.path.join(cfg.save_path, "config.json"))
         save_resume_checkpoint(cfg.save_path, self.state, {
             "epoch": epoch,
             "trainer_step": self.step,
@@ -438,12 +458,6 @@ class Trainer(BaseTrainer):
             "freeze_towers": getattr(cfg, "freeze_towers", False),
             "optimizer_impl": getattr(cfg, "optimizer_impl", "grouped"),
         })
-        if jax.process_index() == 0:
-            # the geometry guard for a future resuming process; the best-model
-            # save writes the same file, so only fill the gap
-            cj = os.path.join(cfg.save_path, "config.json")
-            if not os.path.exists(cj):
-                save_config_json(cfg, cj)
 
     # ------------------------------------------------------------------
     def _emit_metrics(self, record: Dict) -> None:
@@ -461,7 +475,7 @@ class Trainer(BaseTrainer):
             f.write(json.dumps({"ts": time.time(), **record}) + "\n")
 
     # ------------------------------------------------------------------
-    def _run_eval(self, data: Iterable, desc: str):
+    def _run_eval(self, data: Iterable):
         """Returns (metrics_dict, true_labels, pred_labels). The eval loss is
         exact on wrap-padded final batches: CE and JS are both valid-masked in
         the model, so the summed loss equals the reference's over its ragged
@@ -479,14 +493,31 @@ class Trainer(BaseTrainer):
                 device_out.append((out["loss"], out["logits"],
                                    np.asarray(batch["labels"]), valid))
         total_loss = 0.0
-        for loss, logits, labels, valid in device_out:
-            total_loss += float(loss)  # scalar jit outputs are replicated
-            # multi-host: logits are batch-sharded globals; fetch the rows
-            # this process contributed, which pair 1:1 with its local labels
-            from d2r_tpu.parallel.distributed import fetch_local_rows
-            preds = fetch_local_rows(logits).argmax(-1)
-            true_labels.extend(labels[valid].tolist())
-            pred_labels.extend(preds[valid].tolist())
+        if device_out:
+            # ONE stacked device->host transfer for all the (replicated)
+            # loss scalars instead of a ~27ms tunnel roundtrip per batch
+            losses = np.asarray(jnp.stack([o[0] for o in device_out]),
+                                dtype=np.float64)
+            total_loss = float(losses.sum())
+        if device_out and jax.process_count() == 1:
+            # single host: one concatenated logits fetch for the whole eval
+            preds_all = np.asarray(
+                jnp.concatenate([o[1] for o in device_out])).argmax(-1)
+            off = 0
+            for _, logits, labels, valid in device_out:
+                preds = preds_all[off:off + logits.shape[0]]
+                off += logits.shape[0]
+                true_labels.extend(labels[valid].tolist())
+                pred_labels.extend(preds[valid].tolist())
+        else:
+            for _, logits, labels, valid in device_out:
+                # multi-host: logits are batch-sharded globals; fetch the
+                # rows this process contributed, which pair 1:1 with its
+                # local labels
+                from d2r_tpu.parallel.distributed import fetch_local_rows
+                preds = fetch_local_rows(logits).argmax(-1)
+                true_labels.extend(labels[valid].tolist())
+                pred_labels.extend(preds[valid].tolist())
         if jax.process_count() > 1:
             # metrics are computed over ALL samples on every process (the
             # best-F1 checkpoint decision must be globally consistent)
@@ -516,7 +547,7 @@ class Trainer(BaseTrainer):
     def evaluate(self, epoch: int) -> Dict[str, float]:
         """Dev eval + best-F1 checkpointing (ref: modules/train.py:161-218)."""
         self.logger.info("***** Running evaluate *****")
-        m, _, _ = self._run_eval(self.dev_data, "Dev")
+        m, _, _ = self._run_eval(self.dev_data)
         result = {
             "eval_accuracy": m["accuracy"], "precision": m["precision"],
             "recall": m["recall"], "f_score": m["f_score"],
@@ -557,7 +588,7 @@ class Trainer(BaseTrainer):
     def test(self, epoch: int) -> Dict[str, float]:
         """(ref: modules/train.py:220-278)."""
         self.logger.info("***** Running testing *****")
-        m, true_labels, pred_labels = self._run_eval(self.test_data, "Testing")
+        m, true_labels, pred_labels = self._run_eval(self.test_data)
         self._write_predictions(true_labels, pred_labels)
         result = {
             "eval_accuracy": m["accuracy"], "precision": m["precision"],

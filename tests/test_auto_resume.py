@@ -178,3 +178,43 @@ def test_dataloader_set_epoch_reproduces_order():
     _ = orders(b, 1)  # the trainer's shape-init peek
     b.set_epoch(3)
     assert orders(b, 1)[0] == straight[3]
+
+
+class _EpochRecordingData(_PreemptingData):
+    """set_epoch-capable train_data that records the epoch counter each
+    __iter__ observes (what the shuffle stream would key on)."""
+
+    def __init__(self, batches):
+        super().__init__(batches)
+        self._epoch = 0
+        self.epochs_iterated = []
+
+    def set_epoch(self, n):
+        self._epoch = int(n)
+
+    def __iter__(self):
+        self.epochs_iterated.append(self._epoch)
+        return super().__iter__()
+
+
+@pytest.mark.slow
+def test_epoch_shuffle_pinned_and_no_test_data(tmp_path):
+    """Two guarantees in one tiny run: (a) the trainer pins the shuffle
+    epoch at the top of EVERY epoch, so extra up-front __iter__ consumption
+    (shape init, the --pretrained_dir path) cannot shift the stream — the
+    bit-exact auto-resume contract depends on this; (b) a run with
+    test_data=None finishes its best-checkpoint pass without crashing."""
+    cfg = _cfg(tmp_path, num_epochs=2)
+    train = [_tiny_batch(cfg, seed=s) for s in range(2)]
+    dev = [_tiny_batch(cfg, seed=9)]
+    data = _EpochRecordingData(train)
+    tr = Trainer(train_data=data, dev_data=dev, test_data=None,
+                 model=D2RClassifier(cfg), cfg=cfg)
+    # simulate the --pretrained_dir path: one extra iteration before train()
+    next(iter(data))
+    res = tr.train()
+    assert res == {}  # no test set -> no test metrics, and no crash
+    # the training epochs iterated with the PINNED epoch numbers, unshifted
+    # by the two earlier consumptions (extra + shape-init, both at 0)
+    assert data.epochs_iterated[:2] == [0, 0]
+    assert data.epochs_iterated[2:] == [1, 2]

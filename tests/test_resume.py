@@ -75,3 +75,37 @@ def test_async_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert int(restored.step) == int(s.step) == 1
+
+
+def test_mismatched_opt_state_restore_fails_loudly(tmp_path):
+    """A checkpoint WITH opt_state restored into a structurally different
+    opt_state template (e.g. a --freeze_towers toggle across the
+    interruption) must raise the real structural error, not silently
+    degrade to a params-only restore that loses the schedule position."""
+    import pytest
+
+    from d2r_tpu.train.checkpoint import restore_variables
+
+    cfg = tiny_test_config(batch_size=2)
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    batch = synthetic_batch(2, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=0)
+    state = create_train_state(model, cfg, None, jax.random.key(0), batch,
+                               total_steps=10)
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, state, include_opt_state=True)
+
+    frozen_cfg = tiny_test_config(batch_size=2, freeze_towers=True)
+    frozen = create_train_state(D2RClassifier(frozen_cfg), frozen_cfg, None,
+                                jax.random.key(1), batch, total_steps=10)
+    with pytest.raises(Exception, match="(?i)structure|match|tree"):
+        restore_checkpoint(path, frozen)
+
+    # a variables-only consumer (serving/export/predict) still loads the
+    # same checkpoint via the partial restore that skips opt_state entirely
+    v = restore_variables(path)
+    assert set(v) == {"params", "batch_stats"}
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(v["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
