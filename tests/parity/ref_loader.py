@@ -107,8 +107,15 @@ def make_ref_args(bert_dir: str, clip_dir: str, **overrides) -> argparse.Namespa
     return ns
 
 
-def make_flax_config():
-    """The d2r_tpu config matching make_ref_args/TINY_*_CONFIG exactly."""
+def make_flax_config(dropout: float = 0.1, **overrides):
+    """The d2r_tpu config matching make_ref_args/TINY_*_CONFIG exactly.
+
+    ``dropout`` sets the text tower's hidden/attention dropout probs (the
+    training-parity test uses 0.0 on both stacks so trajectories are
+    deterministic). Distinct preset names per dropout value keep the
+    registry entries from aliasing across test modules. ``overrides`` go
+    straight into D2RConfig (lr, warmup_ratio, optimizer_impl, ...).
+    """
     from d2r_tpu.config import (
         D2RConfig,
         TextEncoderConfig,
@@ -117,17 +124,22 @@ def make_flax_config():
         register_vision_preset,
     )
 
-    register_text_preset("parity-bert", lambda: TextEncoderConfig(
+    suffix = "" if dropout == 0.1 else f"-d{dropout:g}"
+    register_text_preset(f"parity-bert{suffix}", lambda: TextEncoderConfig(
         vocab_size=128, hidden_size=768, num_hidden_layers=2,
         num_attention_heads=12, intermediate_size=256,
-        max_position_embeddings=64))
-    register_vision_preset("parity-vit", lambda: VisionEncoderConfig(
+        max_position_embeddings=64,
+        hidden_dropout_prob=dropout, attention_probs_dropout_prob=dropout))
+    register_vision_preset(f"parity-vit{suffix}", lambda: VisionEncoderConfig(
         hidden_size=768, num_hidden_layers=2, num_attention_heads=12,
         intermediate_size=256, image_size=32, patch_size=16))
-    return D2RConfig(
-        bert_name="parity-bert", vit_name="parity-vit", embed_size=768,
-        num_head_IMRC=16, hid_IMRC=128, hid_router=32, DR_step=3,
-        max_seq=16, batch_size=4, compute_dtype="float32", use_pallas=False)
+    kwargs = dict(
+        bert_name=f"parity-bert{suffix}", vit_name=f"parity-vit{suffix}",
+        embed_size=768, num_head_IMRC=16, hid_IMRC=128, hid_router=32,
+        DR_step=3, max_seq=16, batch_size=4, compute_dtype="float32",
+        use_pallas=False)
+    kwargs.update(overrides)
+    return D2RConfig(**kwargs)
 
 
 def import_reference():
