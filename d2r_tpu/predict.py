@@ -37,12 +37,19 @@ import numpy as np
 
 def iter_samples(path: str) -> List[Dict]:
     """Read JSONL or a JSON array into a list of sample dicts."""
-    # utf-8-sig: transparently strip a BOM; sniff past leading whitespace
-    # so '\n[' / ' [' array files are not misparsed as JSONL.
+    # utf-8-sig: transparently strip a BOM; sniff the FIRST NON-WHITESPACE
+    # character (however much whitespace precedes it) so '\n[' / ' [' array
+    # files are not misparsed as JSONL.
     with open(path, "r", encoding="utf-8-sig") as f:
-        head = f.read(64)
+        first = ""
+        while True:
+            chunk = f.read(4096)
+            stripped = chunk.lstrip()
+            if stripped or not chunk:
+                first = stripped[:1]
+                break
         f.seek(0)
-        if head.lstrip()[:1] == "[":
+        if first == "[":
             samples = json.load(f)
             if not isinstance(samples, list):
                 raise ValueError(f"{path}: JSON document is not an array")

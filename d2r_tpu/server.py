@@ -371,32 +371,47 @@ class InferenceService:
         try:
             items = [self.preprocess(text, img) for text, img in requests]
         except Exception:
-            self.stats.record_request((time.monotonic() - t0) * 1e3,
-                                      ok=False)
+            # the whole bulk request dies before any future exists: every
+            # item counts as a failed request, matching the per-item
+            # accounting of the submit path below
+            per = (time.monotonic() - t0) * 1e3 / max(len(requests), 1)
+            for _ in requests:
+                self.stats.record_request(per, ok=False)
             raise
         futs = [self.batcher.submit(item) for item in items]
         results: List[Dict] = []
         first_err: Optional[BaseException] = None
-        n_ok = 0
+        oks: List[bool] = []
         for f in futs:
             try:
                 results.append(f.result(timeout=timeout))
-                n_ok += 1
+                oks.append(True)
             except Exception as e:  # noqa: BLE001 — per-item accounting
                 results.append({})
+                oks.append(False)
                 if first_err is None:
                     first_err = e
         per = (time.monotonic() - t0) * 1e3 / max(len(requests), 1)
-        # Only items that actually failed count as errors; a single bad
-        # item must not report the whole batch as failed in /metrics.
-        for i in range(len(futs)):
-            self.stats.record_request(per, ok=i < n_ok)
+        # attribute ok/error to the item that actually succeeded/failed
+        for ok in oks:
+            self.stats.record_request(per, ok=ok)
         if first_err is not None:
             raise first_err
         return results
 
     def close(self):
         self.batcher.close()
+
+
+# Request-size limits: one hostile (or fat-fingered) request must not OOM
+# the serving process. Body cap bounds what we read off the socket; the
+# per-item cap bounds decoded image bytes handed to the decoders.
+MAX_BODY_BYTES = 32 << 20       # 413 above this, body never read
+MAX_IMAGE_BYTES = 16 << 20      # per-item decoded image_b64 cap, 413
+
+
+class PayloadTooLarge(ValueError):
+    """Request or item exceeds a serving size limit (HTTP 413)."""
 
 
 def _make_handler(service: InferenceService):
@@ -438,16 +453,27 @@ def _make_handler(service: InferenceService):
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
+        def _read_body(self) -> bytes:
+            """Read the request body, enforcing MAX_BODY_BYTES BEFORE the
+            read so an oversized Content-Length never allocates."""
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                raise PayloadTooLarge(
+                    f"request body {length} bytes > {MAX_BODY_BYTES} limit")
+            return self.rfile.read(length)
+
         def do_POST(self):
             if self.path == "/reload":
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    req = json.loads(self._read_body() or b"{}")
                     load_path = req.get("load_path")
                     if not isinstance(load_path, str) or not load_path:
                         self._json(400, {"error":
                                          "'load_path' (string) is required"})
                         return
+                except PayloadTooLarge as e:
+                    self._json(413, {"error": str(e)[:400]})
+                    return
                 except Exception as e:  # noqa: BLE001 — malformed request
                     self._json(400, {"error": f"bad request: {repr(e)[:400]}"})
                     return
@@ -478,14 +504,18 @@ def _make_handler(service: InferenceService):
                     # tolerate MIME/PEM-style whitespace wrapping (newlines
                     # every 76 chars) while still rejecting garbage
                     b64 = "".join(req["image_b64"].split())
+                    if len(b64) > MAX_IMAGE_BYTES * 4 // 3 + 4:
+                        raise PayloadTooLarge(
+                            f"image_b64 decodes to > {MAX_IMAGE_BYTES} "
+                            f"bytes")
                     image_bytes = base64.b64decode(b64, validate=True)
                 return text, image_bytes
 
             # Client errors (bad JSON, bad base64, wrong types) -> 400 so
-            # retry policies / load balancers don't re-send the unfixable.
+            # retry policies / load balancers don't re-send the unfixable;
+            # size-limit violations -> 413.
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(self._read_body() or b"{}")
                 if self.path == "/predict_batch":
                     items = req.get("items") if isinstance(req, dict) else None
                     if not isinstance(items, list) or not items:
@@ -500,6 +530,9 @@ def _make_handler(service: InferenceService):
                 else:
                     requests = None
                     text, image_bytes = parse_item(req)
+            except PayloadTooLarge as e:
+                self._json(413, {"error": str(e)[:400]})
+                return
             except Exception as e:  # noqa: BLE001 — malformed request
                 self._json(400, {"error": f"bad request: {repr(e)[:400]}"})
                 return
@@ -576,7 +609,8 @@ def resolve_serve_config(load_path: str, config_json: Optional[str] = None,
         elif loaded is None:
             fields[name] = default
     unknown = set(overrides) - set(_SERVE_DEFAULTS)
-    assert not unknown, f"unexpected serve overrides: {sorted(unknown)}"
+    if unknown:  # a raise, not an assert: must survive `python -O`
+        raise ValueError(f"unexpected serve overrides: {sorted(unknown)}")
     return base.replace(**fields)
 
 

@@ -103,6 +103,14 @@ class TestResolveServeConfig:
             resolve_serve_config(str(tmp_path), config_json=str(
                 tmp_path / "nope.json"))
 
+    def test_unknown_override_raises_value_error(self, tmp_path):
+        import pytest
+
+        # a raise, not an assert: must also fire under `python -O`
+        with pytest.raises(ValueError, match="unexpected serve overrides"):
+            resolve_serve_config(str(tmp_path / "best_model"),
+                                 not_a_field=1)
+
 
 class TestCheckpointGeometryGuard:
     def test_matching_geometry_passes(self, tmp_path):

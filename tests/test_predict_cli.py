@@ -28,6 +28,10 @@ def test_iter_samples_array_with_leading_whitespace_and_bom(tmp_path):
     ws = tmp_path / "ws.json"
     ws.write_text("\n  " + json.dumps(rows))
     assert iter_samples(str(ws)) == rows
+    # >4 KB of leading whitespace still sniffs the array correctly
+    deep_ws = tmp_path / "deep_ws.json"
+    deep_ws.write_text(" " * 8192 + "\n" + json.dumps(rows))
+    assert iter_samples(str(deep_ws)) == rows
     bom = tmp_path / "bom.json"
     bom.write_bytes(b"\xef\xbb\xbf" + json.dumps(rows).encode())
     assert iter_samples(str(bom)) == rows

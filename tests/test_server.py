@@ -172,6 +172,24 @@ class TestPredictMany:
         finally:
             svc.close()
 
+    def test_preprocess_failure_counts_every_item(self):
+        """If the bulk request dies in preprocessing (before any future
+        exists), every item must count as a failed request — same per-item
+        accounting as the submit path."""
+        svc, cfg = _tiny_service()
+        try:
+            def boom(text, image_bytes):
+                raise RuntimeError("preprocess boom")
+
+            svc.preprocess = boom
+            with pytest.raises(RuntimeError, match="preprocess boom"):
+                svc.predict_many([("a", None)] * 3)
+            snap = svc.stats.snapshot()
+            assert snap["requests_total"] == 3
+            assert snap["errors_total"] == 3
+        finally:
+            svc.close()
+
     def test_partial_failure_counts_only_failed_items(self):
         """One bad item in a bulk request must not report the whole batch
         as failed in /metrics."""
@@ -357,6 +375,44 @@ class TestHTTPEndToEnd:
         assert status == 200 and len(body["probs"]) == cfg.num_classes
         status, body = _post(url + "/predict", {"not_text": 1})
         assert status == 400 and "text" in body["error"]
+
+    def test_oversized_body_rejected_413_without_reading(self, server):
+        """A multi-GB Content-Length must be refused BEFORE the body is
+        read — one hostile request must not OOM the serving process."""
+        import http.client
+
+        url, _cfg = server
+        host = url.split("//", 1)[1]
+        conn = http.client.HTTPConnection(host, timeout=30)
+        try:
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Type", "application/json")
+            # declare 2 GB but send a few bytes: the server must answer off
+            # the header alone (it never allocates or waits for the body)
+            conn.putheader("Content-Length", str(2 << 30))
+            conn.endheaders()
+            conn.send(b'{"text": "hi"}')
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 413, body
+            assert "limit" in body["error"]
+        finally:
+            conn.close()
+
+    def test_oversized_image_item_rejected_413(self, server, monkeypatch):
+        """Per-item decoded image bytes are capped (cap shrunk for the test
+        so no real multi-MB payload is needed)."""
+        import d2r_tpu.server as server_mod
+
+        url, _cfg = server
+        monkeypatch.setattr(server_mod, "MAX_IMAGE_BYTES", 16)
+        payload = {"text": "x",
+                   "image_b64": base64.b64encode(b"z" * 64).decode()}
+        status, body = _post(url + "/predict", payload)
+        assert status == 413 and "image_b64" in body["error"]
+        # batch path hits the same cap
+        status, body = _post(url + "/predict_batch", {"items": [payload]})
+        assert status == 413 and "image_b64" in body["error"]
 
     def test_metrics_endpoint(self, server):
         """/metrics: request/flush counters and latency percentiles track
