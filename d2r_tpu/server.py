@@ -66,15 +66,29 @@ class MicroBatcher:
     ``max_wait_ms`` has elapsed since the first, then calls
     ``run_batch(items) -> results`` once and resolves each item's future.
     A failed flush fails only that flush's futures — the loop keeps serving.
+
+    Adaptive low-QPS wait: paying the full ``max_wait_ms`` after EVERY first
+    request is pure added latency when nobody else is coming (at low QPS the
+    expected batch is 1). The gather is therefore two-phase: wait only
+    ``probe_ms`` (default max_wait/10, >=1 ms) for a follower; only if one
+    arrives inside the probe window does the gather extend to the full
+    ``max_wait_ms`` deadline. Sporadic requests flush after ~probe_ms; bulk
+    submissions (queue already non-empty) and genuine bursts (follower
+    lands in the probe) still coalesce exactly as before. Stateless, so no
+    QPS estimate can go stale. Set ``probe_ms=max_wait_ms`` to restore the
+    fixed-window behaviour.
     """
 
     def __init__(self, run_batch: Callable[[List], List],
                  max_batch: int = 32, max_wait_ms: float = 5.0,
-                 max_queue: int = 1024):
+                 max_queue: int = 1024, probe_ms: Optional[float] = None):
         assert max_batch >= 1
         self._run = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        if probe_ms is None:
+            probe_ms = max(1.0, max_wait_ms / 10.0)
+        self.probe = min(probe_ms, max_wait_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -97,9 +111,15 @@ class MicroBatcher:
             if first is None:  # shutdown sentinel
                 break
             batch = [first]
-            deadline = time.monotonic() + self.max_wait
+            now = time.monotonic()
+            deadline = now + self.max_wait
+            probe_deadline = now + self.probe
             while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
+                # phase 1 (probe): until a follower shows up, only wait the
+                # short probe window; phase 2: a follower arrived, gather to
+                # the full max_wait deadline
+                limit = deadline if len(batch) > 1 else probe_deadline
+                remaining = limit - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
@@ -261,6 +281,7 @@ class InferenceService:
         max_wait_ms: float = 5.0,
         label_names: Optional[Sequence[str]] = None,
         predictor_factory: Optional[Callable[..., object]] = None,
+        probe_ms: Optional[float] = None,  # MicroBatcher adaptive probe
     ):
         """``predictor_factory(load_path)`` enables POST /reload: it must
         return a fully-warmed Predictor for that checkpoint (d2r-serve wires
@@ -279,7 +300,7 @@ class InferenceService:
         self.batcher = MicroBatcher(
             self._run_batch,
             max_batch=predictor.batch_buckets[-1],
-            max_wait_ms=max_wait_ms)
+            max_wait_ms=max_wait_ms, probe_ms=probe_ms)
 
     # -- preprocessing (training-pipeline twins) -----------------------
     def preprocess(self, text: str, image_bytes: Optional[bytes]

@@ -128,6 +128,47 @@ def test_two_process_training_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_dp_tp_training_matches_single(tmp_path):
+    """Pod-scale TENSOR parallelism: 2 processes x 2 local devices joining
+    one (data=2, model=2) mesh — the model axis spans BOTH processes, so
+    tower matmul all-reduces cross the process boundary (the round-3 suite
+    proved dp-only multihost; this pins tp composed with jax.distributed).
+    The final test loss must match a single-process dp2 x tp2 oracle on the
+    identical dataset/config."""
+    from d2r_tpu.data.dataset import write_fake_dataset
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = write_fake_dataset(str(tmp_path / "ds"), n=12, image_size=224)
+    port = free_port()
+    env = cpu_rank_env(2)  # 2 local devices/process -> 4 global
+    mesh_flags = ["--mesh_data", "2", "--mesh_model", "2"]
+
+    procs = []
+    for rank in range(2):
+        cmd = tiny_train_cmd(paths, str(tmp_path / "out_multi"), extra=[
+            "--coordinator_address", f"127.0.0.1:{port}",
+            "--num_processes", "2", "--process_id", str(rank)] + mesh_flags)
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    with ThreadPoolExecutor(len(procs)) as pool:
+        outs = list(pool.map(lambda p: p.communicate(timeout=1500)[0], procs))
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+    multi_loss = _final_test_loss(outs[0])
+
+    oracle = subprocess.run(
+        tiny_train_cmd(paths, str(tmp_path / "out_single"),
+                       extra=mesh_flags),
+        env=dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=4"),
+        cwd=REPO, text=True, capture_output=True, timeout=1500)
+    assert oracle.returncode == 0, oracle.stdout[-4000:] + oracle.stderr[-2000:]
+    single_loss = _final_test_loss(oracle.stdout + oracle.stderr)
+
+    np.testing.assert_allclose(multi_loss, single_loss, rtol=2e-4)
+
+
+@pytest.mark.slow
 def test_two_process_auto_resume_restores_without_retraining(tmp_path):
     """Multi-host --auto_resume mechanics: the collective resume save from a
     2-process run restores on a fresh 2-process cluster (rank-0 meta +

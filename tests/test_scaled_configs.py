@@ -50,6 +50,70 @@ def test_forward_at_width_96():
     assert np.isfinite(float(loss))
 
 
+def test_width_1024_forward_on_dp2_tp2_mesh(eight_devices):
+    """BASELINE config 4's PARALLEL path, CI-pinned: the 1024-dim partition
+    rules (RoBERTa-large/ViT-L width, 16 heads -> 8 whole heads per model
+    shard) must fire on a dp2 x tp2 mesh and produce a finite sharded loss.
+    Shallow towers keep the 1-core CPU compile bounded; shard shapes are
+    width-determined, so this exercises exactly what the wide dryrun
+    (MULTICHIP_WIDE.json) runs at driver time."""
+    from jax.sharding import PartitionSpec as P
+
+    from d2r_tpu.parallel.mesh import (
+        make_mesh,
+        make_param_shardings,
+        shard_batch,
+    )
+
+    register_text_preset("w1024-bert", lambda: TextEncoderConfig(
+        vocab_size=256, hidden_size=1024, num_hidden_layers=1,
+        num_attention_heads=16, intermediate_size=4096,
+        max_position_embeddings=32))
+    register_vision_preset("w1024-vit", lambda: VisionEncoderConfig(
+        hidden_size=1024, num_hidden_layers=1, num_attention_heads=16,
+        intermediate_size=4096, image_size=32, patch_size=16))
+    cfg = D2RConfig(
+        bert_name="w1024-bert", vit_name="w1024-vit", embed_size=1024,
+        num_head_IMRC=16, hid_IMRC=256, hid_router=64, DR_step=3,
+        max_seq=8, batch_size=4, compute_dtype="float32", use_pallas=False,
+        mesh_shape=(2, 2), mesh_axis_names=("data", "model"))
+    model = D2RClassifier(cfg)
+    batch = synthetic_batch(4, 8, 32, vocab_size=256, seed=7)
+    args = (jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["token_type_ids"]), jnp.asarray(batch["labels"]),
+            jnp.asarray(batch["pixel_values"]))
+    variables = jax.jit(model.init)(jax.random.key(0), *args)
+
+    mesh = make_mesh((2, 2), ("data", "model"))
+    sh = make_param_shardings(variables["params"], mesh)
+    # rules fire at width 1024: head-aligned qkv, MLP up/down, vocab rows
+    layer = sh["model"]["encoder_text_layers"]["layer_0"]
+    assert layer["attention_self"]["qkv"]["kernel"].spec == P(None, None, "model")
+    assert layer["intermediate_dense"]["kernel"].spec == P(None, "model")
+    assert layer["output_dense"]["kernel"].spec == P("model", None)
+    emb = sh["model"]["text_embeddings"]["word_embeddings"]["embedding"]
+    assert emb.spec == P("model", None)
+    # 1024 / 2 shards = 512 = 8 whole heads of head_dim 64
+    assert (1024 // 2) % cfg.text_config().head_dim == 0
+
+    with mesh:
+        params = jax.tree_util.tree_map(
+            jax.device_put, variables["params"], sh)
+        sharded = shard_batch(
+            {"input_ids": batch["input_ids"],
+             "attention_mask": batch["attention_mask"],
+             "token_type_ids": batch["token_type_ids"],
+             "labels": batch["labels"],
+             "pixel_values": batch["pixel_values"]}, mesh)
+        loss, logits, _ = jax.jit(model.apply)(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            sharded["input_ids"], sharded["attention_mask"],
+            sharded["token_type_ids"], sharded["labels"],
+            sharded["pixel_values"])
+        assert logits.shape == (4, 3)
+        assert np.isfinite(float(loss))
+
+
 def test_bf16_compute_dtype_is_finite():
     from d2r_tpu.config import tiny_test_config
     cfg = tiny_test_config(compute_dtype="bfloat16")
@@ -65,6 +129,41 @@ def test_bf16_compute_dtype_is_finite():
     # params stay fp32, loss computed in fp32
     assert variables["params"]["fc"]["kernel"].dtype == jnp.float32
     assert np.isfinite(float(loss)) and np.isfinite(np.asarray(logits)).all()
+
+
+def test_seq128_train_and_eval(tmp_path):
+    """BASELINE config 3 (padded seqlen 128) regression guard: the long-text
+    recipe point is measured on TPU (SEQ128_BENCH.json / perf_sweep
+    'seq128' variant) but was never CI-driven — this runs the FULL Trainer
+    train+eval path at max_seq=128 with tiny towers. Position tables must
+    cover 128 rows and every static shape must carry through the fabric,
+    the Gram losses, and the eval metrics."""
+    from d2r_tpu.train.trainer import Trainer
+
+    register_text_preset("seq128-bert", lambda: TextEncoderConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=130))
+    register_vision_preset("seq128-vit", lambda: VisionEncoderConfig(
+        hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=64, image_size=32, patch_size=16))
+    cfg = D2RConfig(
+        bert_name="seq128-bert", vit_name="seq128-vit", embed_size=64,
+        num_head_IMRC=4, hid_IMRC=64, hid_router=32, DR_step=3,
+        max_seq=128, batch_size=2, num_epochs=1, eval_begin_epoch=99,
+        save_path=None, compute_dtype="float32", use_pallas=False)
+    model = D2RClassifier(cfg)
+    data = [synthetic_batch(2, 128, 32, vocab_size=128, seed=s)
+            for s in range(2)]
+    # long-text shape: tokens past position 64 must actually be attended
+    assert data[0]["input_ids"].shape[1] == 128
+    tr = Trainer(train_data=data, dev_data=data[:1], test_data=None,
+                 model=model, cfg=cfg)
+    tr.train()
+    assert tr.step == 2
+    metrics = tr.evaluate(epoch=1)
+    assert np.isfinite(metrics["loss"])
+    assert 0.0 <= metrics["f_score"] <= 1.0
 
 
 def test_roberta_style_tiny_model_forward():

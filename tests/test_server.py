@@ -70,6 +70,41 @@ class TestMicroBatcher:
         finally:
             mb.close()
 
+    def test_low_qps_flushes_after_probe_not_max_wait(self):
+        """A lone request must not pay the full max_wait window: with no
+        follower inside the probe (max_wait/10), it flushes early."""
+        mb = MicroBatcher(lambda items: items, max_batch=8,
+                          max_wait_ms=400.0)  # probe = 40 ms
+        try:
+            t0 = time.monotonic()
+            assert mb.submit("solo").result(timeout=5) == "solo"
+            elapsed = time.monotonic() - t0
+        finally:
+            mb.close()
+        # well under the 400 ms window (generous bound for a loaded CI box)
+        assert elapsed < 0.25, f"lone request waited {elapsed * 1e3:.0f} ms"
+
+    def test_follower_in_probe_extends_to_full_window(self):
+        """A follower arriving inside the probe re-arms the full max_wait
+        gather, so a staggered burst still coalesces."""
+        calls = []
+
+        def run(items):
+            calls.append(len(items))
+            return items
+
+        mb = MicroBatcher(run, max_batch=4, max_wait_ms=500.0)  # probe 50 ms
+        try:
+            f0 = mb.submit(0)
+            time.sleep(0.02)       # inside the probe window
+            f1 = mb.submit(1)
+            time.sleep(0.15)       # outside probe, inside full window
+            f2 = mb.submit(2)
+            assert [f.result(timeout=5) for f in (f0, f1, f2)] == [0, 1, 2]
+        finally:
+            mb.close()
+        assert calls and calls[0] == 3, calls  # one coalesced flush
+
     def test_submit_after_close_raises(self):
         mb = MicroBatcher(lambda items: items, max_batch=2, max_wait_ms=1.0)
         mb.close()

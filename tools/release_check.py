@@ -1,0 +1,145 @@
+"""One-command release gate: reproduce every driver artifact + the suite.
+
+Runs, in order, with everything sequential (this host has ONE core —
+concurrent jobs starve each other and corrupt host-timed TPU measurements):
+
+  1. TPU probe + bench.py            -> the BENCH_r{N}.json payload
+  2. default multichip dryrun (8 virtual CPU devices)
+                                     -> the MULTICHIP_r{N}.json payload
+  3. pytest tests/ --ignore=tests/parity   (half 1)
+  4. pytest tests/parity                   (half 2)
+
+and emits ONE summary JSON (stdout + --out file). Exit code 0 iff every
+stage passed (a SKIPPED bench — tunnel down — is reported but does not
+fail the gate; use --require_tpu to make it fatal).
+
+Usage:
+  python tools/release_check.py                  # full gate (~80 min CPU)
+  python tools/release_check.py --quick          # -m 'not slow' halves
+  python tools/release_check.py --skip_tests     # artifacts only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# keep the axon plugin importable in subprocesses (CLAUDE.md: PYTHONPATH
+# CLOBBERS the plugin path unless both entries are present)
+ENV = dict(os.environ, PYTHONPATH=f"{REPO}:/root/.axon_site")
+
+
+def _run(cmd, timeout, env=None, tag=""):
+    t0 = time.monotonic()
+    try:
+        p = subprocess.run(cmd, cwd=REPO, env=env or ENV, text=True,
+                           capture_output=True, timeout=timeout)
+        rc, out = p.returncode, (p.stdout + p.stderr)
+    except subprocess.TimeoutExpired as e:
+        rc = 124
+        out = ((e.stdout or "") if isinstance(e.stdout, str) else "") + \
+              f"\n<release_check: {tag} timed out after {timeout}s>"
+    return {"rc": rc, "wall_s": round(time.monotonic() - t0, 1),
+            "tail": out[-2000:]}
+
+
+def probe_tpu(timeout=60) -> bool:
+    """Is the tunnelled TPU reachable? (backend init can otherwise block
+    ~35 min before raising UNAVAILABLE — CLAUDE.md)."""
+    r = _run([sys.executable, "-c",
+              "import jax; print(jax.devices())"], timeout, tag="tpu probe")
+    tail = r["tail"].lower()
+    return r["rc"] == 0 and ("axon" in tail or "tpu" in tail)
+
+
+def stage_bench(require_tpu: bool):
+    if not probe_tpu():
+        return {"status": "fatal" if require_tpu else "skipped",
+                "reason": "TPU probe failed (tunnel down?)"}
+    r = _run([sys.executable, "bench.py"], timeout=3600, tag="bench")
+    parsed = None
+    for line in reversed(r["tail"].splitlines()):
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+            break
+    status = "ok" if (r["rc"] == 0 and parsed) else "failed"
+    return {"status": status, **r, "parsed": parsed}
+
+
+def stage_dryrun():
+    code = ("import __graft_entry__ as g; g.dryrun_multichip(8)")
+    env = dict(ENV)
+    env.pop("JAX_PLATFORMS", None)  # dryrun pins cpu via jax.config itself
+    r = _run([sys.executable, "-c", code], timeout=1800, env=env,
+             tag="dryrun")
+    ok = r["rc"] == 0 and "dryrun_multichip OK" in r["tail"]
+    return {"status": "ok" if ok else "failed", **r}
+
+
+def stage_pytest(args_extra, timeout, tag):
+    cmd = [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+           *args_extra]
+    r = _run(cmd, timeout=timeout, tag=tag)
+    return {"status": "ok" if r["rc"] == 0 else "failed", **r}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true",
+                    help="run the suite with -m 'not slow'")
+    ap.add_argument("--skip_tests", action="store_true")
+    ap.add_argument("--skip_bench", action="store_true")
+    ap.add_argument("--skip_dryrun", action="store_true")
+    ap.add_argument("--require_tpu", action="store_true",
+                    help="a down tunnel fails the gate instead of skipping")
+    ap.add_argument("--out", default="RELEASE_CHECK.json")
+    args = ap.parse_args(argv)
+
+    summary = {"started": time.strftime("%Y-%m-%dT%H:%M:%S"),
+               "quick": args.quick}
+    t0 = time.monotonic()
+
+    if not args.skip_bench:
+        print("[release_check] bench (TPU) ...", flush=True)
+        summary["bench"] = stage_bench(args.require_tpu)
+        print(f"  -> {summary['bench']['status']}", flush=True)
+    if not args.skip_dryrun:
+        print("[release_check] multichip dryrun (8 virtual CPU) ...",
+              flush=True)
+        summary["dryrun"] = stage_dryrun()
+        print(f"  -> {summary['dryrun']['status']}", flush=True)
+    if not args.skip_tests:
+        marker = ["-m", "not slow"] if args.quick else []
+        print("[release_check] pytest half 1 (tests/ sans parity) ...",
+              flush=True)
+        summary["tests_main"] = stage_pytest(
+            ["tests/", "--ignore=tests/parity", *marker],
+            timeout=5400, tag="tests_main")
+        print(f"  -> {summary['tests_main']['status']}", flush=True)
+        print("[release_check] pytest half 2 (tests/parity) ...", flush=True)
+        summary["tests_parity"] = stage_pytest(
+            ["tests/parity", *marker], timeout=5400, tag="tests_parity")
+        print(f"  -> {summary['tests_parity']['status']}", flush=True)
+
+    summary["wall_s"] = round(time.monotonic() - t0, 1)
+    statuses = [v.get("status") for v in summary.values()
+                if isinstance(v, dict) and "status" in v]
+    summary["pass"] = all(s in ("ok", "skipped") for s in statuses)
+
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: (v.get("status") if isinstance(v, dict) else v)
+                      for k, v in summary.items()}))
+    return 0 if summary["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
