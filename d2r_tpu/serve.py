@@ -235,11 +235,13 @@ def latency_stats(predictor: Predictor, batch: Dict[str, np.ndarray],
                 widths[1] = (0, cols - x.shape[1])
             return np.pad(x, widths)
 
+        # _place, not a bare device_put: mesh serving stages inputs sharded
+        # over the data axis, and the compiled fn specializes on shardings
         args = (predictor.variables,
-                jax.device_put(jnp.asarray(pad(batch["input_ids"], b, lb))),
-                jax.device_put(jnp.asarray(pad(batch["attention_mask"], b, lb))),
-                jax.device_put(jnp.asarray(pad(batch["token_type_ids"], b, lb))),
-                jax.device_put(jnp.asarray(pad(batch["pixel_values"], b))))
+                predictor._place(pad(batch["input_ids"], b, lb)),
+                predictor._place(pad(batch["attention_mask"], b, lb)),
+                predictor._place(pad(batch["token_type_ids"], b, lb)),
+                predictor._place(pad(batch["pixel_values"], b)))
         for i in range(warmup + iters):
             t0 = time.perf_counter()
             probs = np.asarray(fn(*args))  # tiny (b, classes) download = sync

@@ -27,12 +27,29 @@ def main():
                     choices=["uint8", "float32"],
                     help="client pixel format; uint8 = 4x fewer request "
                          "bytes, normalised on device (pixel_transfer mode)")
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a backend (cpu = virtual-mesh records)")
+    ap.add_argument("--mesh_data", default=0, type=int,
+                    help="serve over an N-device data mesh (0 = no mesh)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny-test geometry (fp32, no pallas) — for "
+                         "virtual-mesh latency records on CPU, not perf")
     args = ap.parse_args()
 
+    if args.device == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if args.mesh_data > 1 and "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{args.mesh_data}").strip()
+
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from d2r_tpu.config import D2RConfig
+    from d2r_tpu.config import D2RConfig, tiny_test_config
     from d2r_tpu.data.dataset import synthetic_batch
     from d2r_tpu.models.unimo import D2RClassifier
     from d2r_tpu.serve import Predictor, latency_stats
@@ -41,8 +58,11 @@ def main():
     enable_compilation_cache()
     buckets = tuple(int(b) for b in args.batches.split(","))
 
-    cfg = D2RConfig(DR_step=4, max_seq=args.max_seq, compute_dtype="bfloat16",
-                    use_pallas=True)
+    if args.tiny:
+        cfg = tiny_test_config(max_seq=args.max_seq)
+    else:
+        cfg = D2RConfig(DR_step=4, max_seq=args.max_seq,
+                        compute_dtype="bfloat16", use_pallas=True)
     model = D2RClassifier(cfg)
     vc = cfg.vision_config()
     init_batch = synthetic_batch(buckets[0], args.max_seq, vc.image_size,
@@ -56,8 +76,13 @@ def main():
         jnp.asarray(init_batch["labels"]),
         jnp.asarray(init_batch["pixel_values"]))
 
+    mesh = None
+    if args.mesh_data > 1:
+        from d2r_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((args.mesh_data,), ("data",))
     pred = Predictor(cfg, variables, batch_buckets=buckets,
-                     seq_buckets=(args.max_seq,), quantize=args.quantize)
+                     seq_buckets=(args.max_seq,), quantize=args.quantize,
+                     mesh=mesh)
     # warmup must stage the dtype the measured requests will carry — a
     # float32 warmup before uint8 requests compiles every bucket twice
     pred.warmup(pixel_dtype=jnp.uint8 if args.pixel == "uint8"
@@ -90,6 +115,9 @@ def main():
         "max_seq": args.max_seq,
         "pixel": args.pixel,
         "quantize": args.quantize,
+        "mesh_data": args.mesh_data or None,
+        "tiny": args.tiny,
+        "backend": jax.default_backend(),
     }
     print(json.dumps(payload))
     if args.out:
