@@ -478,6 +478,9 @@ def _make_handler(service: InferenceService):
             """Read the request body, enforcing MAX_BODY_BYTES BEFORE the
             read so an oversized Content-Length never allocates."""
             length = int(self.headers.get("Content-Length", 0))
+            if length < 0:
+                # rfile.read(-1) would buffer until EOF — unbounded
+                raise ValueError(f"bad Content-Length {length}")
             if length > MAX_BODY_BYTES:
                 raise PayloadTooLarge(
                     f"request body {length} bytes > {MAX_BODY_BYTES} limit")

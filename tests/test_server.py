@@ -434,6 +434,23 @@ class TestHTTPEndToEnd:
         finally:
             conn.close()
 
+    def test_negative_content_length_rejected_400(self, server):
+        """Content-Length: -1 must not reach rfile.read(-1) (which buffers
+        until EOF — the unbounded read the body cap exists to prevent)."""
+        import http.client
+
+        url, _cfg = server
+        conn = http.client.HTTPConnection(url.split("//", 1)[1], timeout=30)
+        try:
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", "-1")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, resp.read()[:200]
+        finally:
+            conn.close()
+
     def test_oversized_image_item_rejected_413(self, server, monkeypatch):
         """Per-item decoded image bytes are capped (cap shrunk for the test
         so no real multi-MB payload is needed)."""

@@ -35,26 +35,38 @@ ENV = dict(os.environ, PYTHONPATH=f"{REPO}:/root/.axon_site")
 
 
 def _run(cmd, timeout, env=None, tag=""):
+    """stdout and stderr tails kept SEPARATE: success markers are parsed
+    from stdout, and this stack routinely emits >2k of stderr noise
+    (absl/JAX warnings) that would otherwise evict them from a combined
+    tail."""
     t0 = time.monotonic()
+    def _s(x):
+        return x if isinstance(x, str) else ""
     try:
         p = subprocess.run(cmd, cwd=REPO, env=env or ENV, text=True,
                            capture_output=True, timeout=timeout)
-        rc, out = p.returncode, (p.stdout + p.stderr)
+        rc, out, err = p.returncode, p.stdout, p.stderr
     except subprocess.TimeoutExpired as e:
-        rc = 124
-        out = ((e.stdout or "") if isinstance(e.stdout, str) else "") + \
-              f"\n<release_check: {tag} timed out after {timeout}s>"
+        rc, out = 124, _s(e.stdout)
+        err = _s(e.stderr) + \
+            f"\n<release_check: {tag} timed out after {timeout}s>"
     return {"rc": rc, "wall_s": round(time.monotonic() - t0, 1),
-            "tail": out[-2000:]}
+            "tail": out[-2000:], "stderr_tail": err[-1000:]}
 
 
 def probe_tpu(timeout=60) -> bool:
     """Is the tunnelled TPU reachable? (backend init can otherwise block
     ~35 min before raising UNAVAILABLE — CLAUDE.md)."""
     r = _run([sys.executable, "-c",
-              "import jax; print(jax.devices())"], timeout, tag="tpu probe")
-    tail = r["tail"].lower()
-    return r["rc"] == 0 and ("axon" in tail or "tpu" in tail)
+              "import jax; print('DEVICES:', jax.devices())"],
+             timeout, tag="tpu probe")
+    # match the actual device list, not stderr noise (a failed-plugin
+    # warning also contains 'axon'/'tpu' but jax falls back to CpuDevice)
+    for line in r["tail"].splitlines():
+        if line.startswith("DEVICES:"):
+            low = line.lower()
+            return r["rc"] == 0 and ("tpu" in low or "axon" in low)
+    return False
 
 
 def stage_bench(require_tpu: bool):
@@ -132,7 +144,11 @@ def main(argv=None):
     summary["wall_s"] = round(time.monotonic() - t0, 1)
     statuses = [v.get("status") for v in summary.values()
                 if isinstance(v, dict) and "status" in v]
-    summary["pass"] = all(s in ("ok", "skipped") for s in statuses)
+    # a gate where NOTHING ran must not claim a pass (all([]) is True)
+    summary["pass"] = bool(statuses) and all(
+        s in ("ok", "skipped") for s in statuses)
+    if not statuses:
+        summary["note"] = "no stages ran (everything skipped) — not a pass"
 
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(summary, f, indent=1)

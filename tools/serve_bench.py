@@ -27,8 +27,10 @@ def main():
                     choices=["uint8", "float32"],
                     help="client pixel format; uint8 = 4x fewer request "
                          "bytes, normalised on device (pixel_transfer mode)")
-    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
-                    help="force a backend (cpu = virtual-mesh records)")
+    ap.add_argument("--device", default=None, choices=["cpu"],
+                    help="force the CPU backend (virtual-mesh records); "
+                         "default: the environment's backend (axon TPU "
+                         "under the tunnel)")
     ap.add_argument("--mesh_data", default=0, type=int,
                     help="serve over an N-device data mesh (0 = no mesh)")
     ap.add_argument("--tiny", action="store_true",
