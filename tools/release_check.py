@@ -14,7 +14,7 @@ stage passed (a SKIPPED bench — tunnel down — is reported but does not
 fail the gate; use --require_tpu to make it fatal).
 
 Usage:
-  python tools/release_check.py                  # full gate (~80 min CPU)
+  python tools/release_check.py                  # full gate (~3 h CPU)
   python tools/release_check.py --quick          # -m 'not slow' halves
   python tools/release_check.py --skip_tests     # artifacts only
 """
@@ -134,11 +134,11 @@ def main(argv=None):
               flush=True)
         summary["tests_main"] = stage_pytest(
             ["tests/", "--ignore=tests/parity", *marker],
-            timeout=5400, tag="tests_main")
+            timeout=9000, tag="tests_main")  # measured 7389 s in round 4
         print(f"  -> {summary['tests_main']['status']}", flush=True)
         print("[release_check] pytest half 2 (tests/parity) ...", flush=True)
         summary["tests_parity"] = stage_pytest(
-            ["tests/parity", *marker], timeout=5400, tag="tests_parity")
+            ["tests/parity", *marker], timeout=7200, tag="tests_parity")
         print(f"  -> {summary['tests_parity']['status']}", flush=True)
 
     summary["wall_s"] = round(time.monotonic() - t0, 1)
