@@ -109,3 +109,43 @@ def test_mismatched_opt_state_restore_fails_loudly(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(v["params"])[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_trainer_restore_under_dp_tp_mesh(tmp_path, eight_devices):
+    """Checkpoint restore under a (data=2, model=2) mesh: the FULL Trainer
+    trains+saves on the tp mesh, a fresh Trainer restores into its
+    mesh-context state, and dev eval reproduces the pre-save loss
+    bit-exactly. Round 3 proved restore for dp; this pins the model-axis
+    configuration (restored leaves must re-enter the tp-sharded jitted
+    eval without relayout errors)."""
+    from d2r_tpu.train.trainer import Trainer
+
+    cfg = tiny_test_config(
+        batch_size=8, num_epochs=1, eval_begin_epoch=1,
+        save_path=str(tmp_path / "out"),
+        mesh_shape=(2, 2), mesh_axis_names=("data", "model"))
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    data = [synthetic_batch(8, cfg.max_seq, vc.image_size,
+                            vocab_size=cfg.text_config().vocab_size, seed=s)
+            for s in range(3)]
+
+    tr = Trainer(train_data=data, dev_data=data[:1], test_data=None,
+                 model=model, cfg=cfg)
+    tr.train()  # evaluates at epoch 1 -> saves best_model on the mesh
+    m_before, _, preds_before = tr._run_eval(data[:1])
+
+    tr2 = Trainer(train_data=data, dev_data=data[:1], test_data=None,
+                  model=model, cfg=cfg)
+    tr2.init_state(data[0])
+    tr2.state = restore_checkpoint(
+        os.path.join(cfg.save_path, "best_model"), tr2.state)
+    m_after, _, preds_after = tr2._run_eval(data[:1])
+
+    assert m_after["loss"] == m_before["loss"]  # bit-exact restore
+    np.testing.assert_array_equal(np.asarray(preds_after),
+                                  np.asarray(preds_before))

@@ -578,3 +578,42 @@ class TestHTTPEndToEnd:
         with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
             m = json.loads(r.read())
         assert m["reloads_total"] == 1
+
+    def test_reload_under_concurrent_traffic(self, server):
+        """Hot swap while requests are in flight: every predict during the
+        swap must succeed (old or new model — never a 500/torn state), and
+        the swap itself must land. Runs after test_http_reload_swaps_model
+        (both permanently swap the fixture model)."""
+        url, cfg = server
+        stop = threading.Event()
+        errors, codes = [], []
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    status, body = _post(url + "/predict",
+                                         {"text": "load during swap"},
+                                         timeout=30)
+                    codes.append(status)
+                    if status != 200:
+                        errors.append(body)
+                    else:
+                        assert len(body["probs"]) == cfg.num_classes
+                except Exception as e:  # noqa: BLE001 — collected below
+                    errors.append(repr(e))
+
+        threads = [threading.Thread(target=hammer) for _ in range(3)]
+        for t in threads:
+            t.start()
+        try:
+            time.sleep(0.3)  # traffic flowing
+            status, body = _post(url + "/reload", {"load_path": "seed-9"},
+                                 timeout=120)
+            assert status == 200, body
+            time.sleep(0.3)  # traffic against the swapped model
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=30)
+        assert not errors, f"{len(errors)} failed during swap: {errors[:3]}"
+        assert len(codes) >= 6 and all(c == 200 for c in codes)
