@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""HTTP-level serving latency A/B: adaptive probe vs fixed coalescing wait.
+
+Measures what a real client sees for SPORADIC single requests (the low-QPS
+regime the MicroBatcher's adaptive probe targets): full HTTP round-trip
+through ThreadingHTTPServer -> InferenceService -> MicroBatcher ->
+Predictor. Runs the SAME service twice — probe_ms default (max_wait/10)
+vs probe_ms=max_wait (the old fixed-window behaviour) — and reports p50
+per mode, plus a burst sanity check proving coalescing still works with
+the probe on.
+
+CPU (tiny) by default so it can run anywhere; --flagship on the TPU
+records the production-geometry number (the tunnel's ~27 ms RTT is in
+both arms, so the delta isolates the batcher wait).
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _measure(url, n, gap_s):
+    """Sporadic single requests: one at a time, gap >> max_wait."""
+    times = []
+    body = json.dumps({"text": "latency probe request"}).encode()
+    for i in range(n):
+        req = urllib.request.Request(
+            url + "/predict", data=body,
+            headers={"Content-Type": "application/json"}, method="POST")
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+            r.read()
+        times.append(time.perf_counter() - t0)
+        time.sleep(gap_s)
+    xs = sorted(times[1:])  # drop the first (connection/bucket warm)
+    return {"p50_ms": round(xs[len(xs) // 2] * 1e3, 2),
+            "p90_ms": round(xs[min(int(len(xs) * 0.9), len(xs) - 1)] * 1e3, 2),
+            "mean_ms": round(statistics.mean(xs) * 1e3, 2), "n": len(xs)}
+
+
+def _burst(url, k):
+    """k concurrent requests; returns flushes observed via /metrics."""
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        before = json.loads(r.read())["flushes_total"]
+    body = json.dumps({"text": "burst"}).encode()
+    errs = []
+
+    def one():
+        try:
+            req = urllib.request.Request(
+                url + "/predict", data=body,
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 200
+                r.read()
+        except Exception as e:  # noqa: BLE001
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=one) for _ in range(k)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        after = json.loads(r.read())["flushes_total"]
+    return after - before
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", default=30, type=int, help="requests per arm")
+    ap.add_argument("--gap_ms", default=60.0, type=float,
+                    help="gap between sporadic requests (>> max_wait)")
+    ap.add_argument("--max_wait_ms", default=5.0, type=float)
+    ap.add_argument("--flagship", action="store_true",
+                    help="production geometry (bf16, pallas) — for the "
+                         "TPU record; default tiny/cpu-friendly")
+    ap.add_argument("--device", default=None, choices=["cpu"],
+                    help="force the CPU backend")
+    ap.add_argument("--out", default="HTTP_LATENCY_AB.json")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from d2r_tpu.config import D2RConfig, tiny_test_config
+    from d2r_tpu.data.dataset import synthetic_batch
+    from d2r_tpu.data.tokenizer import load_tokenizer
+    from d2r_tpu.models.unimo import D2RClassifier
+    from d2r_tpu.serve import Predictor
+    from d2r_tpu.server import InferenceService, make_server
+    from d2r_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.flagship:
+        cfg = D2RConfig(DR_step=4, max_seq=64, compute_dtype="bfloat16",
+                        use_pallas=True)
+        buckets = (1, 8)
+    else:
+        cfg = tiny_test_config()
+        buckets = (1, 8)
+
+    model = D2RClassifier(cfg)
+    vc = cfg.vision_config()
+    b = synthetic_batch(1, cfg.max_seq, vc.image_size,
+                        vocab_size=cfg.text_config().vocab_size, seed=0)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(b["input_ids"]),
+        jnp.asarray(b["attention_mask"]), jnp.asarray(b["token_type_ids"]),
+        jnp.asarray(b["labels"]), jnp.asarray(b["pixel_values"]))
+    pred = Predictor(cfg, variables, batch_buckets=buckets,
+                     seq_buckets=(cfg.max_seq,))
+    pred.warmup(pixel_dtype=jnp.uint8)
+    tok = load_tokenizer("nonexistent-tiny",
+                         vocab_size=cfg.text_config().vocab_size)
+
+    results = {}
+    for mode, probe_ms in (("adaptive", None),
+                           ("fixed", args.max_wait_ms)):
+        svc = InferenceService(pred, tok, raw_uint8=True,
+                               max_wait_ms=args.max_wait_ms,
+                               probe_ms=probe_ms)
+        httpd = make_server(svc, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            results[mode] = _measure(url, args.n, args.gap_ms / 1e3)
+            if mode == "adaptive":
+                # coalescing sanity: 8 concurrent requests must not take
+                # 8 solo flushes even with the probe on
+                flushes = _burst(url, 8)
+                results["burst8_flushes_adaptive"] = flushes
+        finally:
+            httpd.shutdown()
+            svc.close()
+        print(f"{mode:>8}: {results[mode]}", flush=True)
+
+    delta = results["fixed"]["p50_ms"] - results["adaptive"]["p50_ms"]
+    payload = {
+        "metric": "http_single_request_p50_ms",
+        "value": results,
+        "p50_delta_ms_fixed_minus_adaptive": round(delta, 2),
+        "max_wait_ms": args.max_wait_ms,
+        "flagship": args.flagship,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
