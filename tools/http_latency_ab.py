@@ -35,9 +35,13 @@ def _measure(url, n, gap_s):
             url + "/predict", data=body,
             headers={"Content-Type": "application/json"}, method="POST")
         t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=60) as r:
-            assert r.status == 200
-            r.read()
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.status == 200
+                r.read()
+        except urllib.error.HTTPError as e:
+            raise AssertionError(
+                f"request {i}: HTTP {e.code}: {e.read()[:400]}") from e
         times.append(time.perf_counter() - t0)
         time.sleep(gap_s)
     xs = sorted(times[1:])  # drop the first (connection/bucket warm)
