@@ -6,10 +6,11 @@ device-list-only TPU probing, and all([])-style vacuous passes.
 """
 
 import json
-import subprocess
+import os
 import sys
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from release_check import main as rc_main  # noqa: E402
 
