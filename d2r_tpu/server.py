@@ -663,6 +663,12 @@ def main(argv=None):
     ap.add_argument("--num_classes", type=int, default=None)
     ap.add_argument("--batch_buckets", default="1,8,32")
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--probe_ms", type=float, default=None,
+                    help="MicroBatcher adaptive first-request probe window "
+                         "(default max_wait_ms/10, >=1 ms). Operators of "
+                         "throughput-bound services can restore the old "
+                         "fixed coalescing window with "
+                         "--probe_ms == --max_wait_ms")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
@@ -725,6 +731,7 @@ def main(argv=None):
     service = InferenceService(predictor, tokenizer,
                                fallback_image=args.fallback_image,
                                max_wait_ms=args.max_wait_ms,
+                               probe_ms=args.probe_ms,
                                predictor_factory=build_predictor)
     server = make_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "

@@ -5,14 +5,21 @@ parsing decisions that review found fragile: stdout/stderr separation,
 device-list-only TPU probing, and all([])-style vacuous passes.
 """
 
+import importlib.util
 import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
-
-from release_check import main as rc_main  # noqa: E402
+# load tools/release_check.py WITHOUT mutating sys.path for the whole pytest
+# session (round-4 advice: a prepended tools/ dir could shadow real imports
+# in later-collected tests)
+_spec = importlib.util.spec_from_file_location(
+    "release_check", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "release_check.py"))
+release_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(release_check)
+rc_main = release_check.main
 
 
 def test_all_skipped_is_not_a_pass(tmp_path):
@@ -26,7 +33,7 @@ def test_all_skipped_is_not_a_pass(tmp_path):
 
 
 def test_probe_matches_device_list_not_stderr_noise(monkeypatch):
-    import release_check as rc
+    rc = release_check
 
     def fake_run(cmd, timeout, env=None, tag=""):
         # plugin-failure shape: 'axon' appears only in the warning, the
@@ -49,7 +56,7 @@ def test_probe_matches_device_list_not_stderr_noise(monkeypatch):
 
 
 def test_run_keeps_stdout_and_stderr_tails_separate():
-    import release_check as rc
+    rc = release_check
 
     code = ("import sys\n"
             "print('THE_SUCCESS_MARKER')\n"
@@ -62,7 +69,7 @@ def test_run_keeps_stdout_and_stderr_tails_separate():
 
 
 def test_bench_json_line_parses_from_stdout(monkeypatch):
-    import release_check as rc
+    rc = release_check
 
     monkeypatch.setattr(rc, "probe_tpu", lambda timeout=60: True)
 
@@ -78,3 +85,39 @@ def test_bench_json_line_parses_from_stdout(monkeypatch):
     s = rc.stage_bench(require_tpu=False)
     assert s["status"] == "ok"
     assert s["parsed"]["value"] == 820.0
+
+
+def test_markers_parse_beyond_the_2000_char_tail(monkeypatch):
+    """Round-4 advice: success markers were parsed from the 2000-char tail,
+    so growth in TRAILING stdout silently flipped a passing stage to failed.
+    Markers must now parse from the full stdout, and the full stdout must
+    not leak into the stored stage result."""
+    rc = release_check
+
+    monkeypatch.setattr(rc, "probe_tpu", lambda timeout=60: True)
+    json_line = ('{"metric": "finetune_samples_per_sec_per_chip", '
+                 '"value": 820.0, "unit": "samples/sec/chip"}')
+    out = json_line + "\n" + ("trailing diagnostics line\n" * 200)
+    assert json_line not in out[-2000:]  # the old parse WOULD miss it
+
+    def fake_run(cmd, timeout, env=None, tag=""):
+        return {"rc": 0, "tail": out[-2000:], "stderr_tail": "",
+                "wall_s": 1.0, "stdout_full": out}
+
+    monkeypatch.setattr(rc, "_run", fake_run)
+    s = rc.stage_bench(require_tpu=False)
+    assert s["status"] == "ok"
+    assert s["parsed"]["value"] == 820.0
+    assert "stdout_full" not in s
+
+    dr_out = "dryrun_multichip OK [tiny-64]\n" + ("post-run summary\n" * 300)
+    assert "dryrun_multichip OK" not in dr_out[-2000:]
+
+    def fake_run_dr(cmd, timeout, env=None, tag=""):
+        return {"rc": 0, "tail": dr_out[-2000:], "stderr_tail": "",
+                "wall_s": 1.0, "stdout_full": dr_out}
+
+    monkeypatch.setattr(rc, "_run", fake_run_dr)
+    s = rc.stage_dryrun()
+    assert s["status"] == "ok"
+    assert "stdout_full" not in s

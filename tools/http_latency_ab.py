@@ -4,10 +4,12 @@
 Measures what a real client sees for SPORADIC single requests (the low-QPS
 regime the MicroBatcher's adaptive probe targets): full HTTP round-trip
 through ThreadingHTTPServer -> InferenceService -> MicroBatcher ->
-Predictor. Runs the SAME service twice — probe_ms default (max_wait/10)
-vs probe_ms=max_wait (the old fixed-window behaviour) — and reports p50
-per mode, plus a burst sanity check proving coalescing still works with
-the probe on.
+Predictor. Runs TWO services on the same predictor — probe_ms default
+(max_wait/10) vs probe_ms=max_wait (the old fixed-window behaviour) — with
+requests INTERLEAVED A/B/A/B in one session so machine-speed drift lands in
+both arms equally (round-4 verdict: the sequential n=19 arms wouldn't
+survive a t-test). Reports p50/p90/mean + spread per mode, plus a burst
+check ASSERTING coalescing still works with the probe on.
 
 CPU (tiny) by default so it can run anywhere; --flagship on the TPU
 records the production-geometry number (the tunnel's ~27 ms RTT is in
@@ -26,28 +28,43 @@ import urllib.request
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _measure(url, n, gap_s):
-    """Sporadic single requests: one at a time, gap >> max_wait."""
-    times = []
+def _one_request(url, body, i):
+    req = urllib.request.Request(
+        url + "/predict", data=body,
+        headers={"Content-Type": "application/json"}, method="POST")
+    t0 = time.perf_counter()
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            r.read()
+    except urllib.error.HTTPError as e:
+        raise AssertionError(
+            f"request {i}: HTTP {e.code}: {e.read()[:400]}") from e
+    return time.perf_counter() - t0
+
+
+def _measure_interleaved(urls, n, gap_s):
+    """Sporadic single requests, the arms INTERLEAVED request-by-request
+    (A,B,A,B,...) so any within-session drift affects both arms equally.
+    ``urls`` is {mode: url}; requires n >= 2 (the first sample per arm is
+    dropped as connection/bucket warmup)."""
+    assert n >= 2, "need n >= 2: the warmup sample per arm is dropped"
     body = json.dumps({"text": "latency probe request"}).encode()
+    times = {mode: [] for mode in urls}
     for i in range(n):
-        req = urllib.request.Request(
-            url + "/predict", data=body,
-            headers={"Content-Type": "application/json"}, method="POST")
-        t0 = time.perf_counter()
-        try:
-            with urllib.request.urlopen(req, timeout=120) as r:
-                assert r.status == 200
-                r.read()
-        except urllib.error.HTTPError as e:
-            raise AssertionError(
-                f"request {i}: HTTP {e.code}: {e.read()[:400]}") from e
-        times.append(time.perf_counter() - t0)
-        time.sleep(gap_s)
-    xs = sorted(times[1:])  # drop the first (connection/bucket warm)
-    return {"p50_ms": round(xs[len(xs) // 2] * 1e3, 2),
+        for mode, url in urls.items():
+            times[mode].append(_one_request(url, body, i))
+            time.sleep(gap_s)
+    out = {}
+    for mode, ts in times.items():
+        xs = sorted(ts[1:])  # drop the first (connection/bucket warm)
+        out[mode] = {
+            "p50_ms": round(xs[len(xs) // 2] * 1e3, 2),
             "p90_ms": round(xs[min(int(len(xs) * 0.9), len(xs) - 1)] * 1e3, 2),
-            "mean_ms": round(statistics.mean(xs) * 1e3, 2), "n": len(xs)}
+            "mean_ms": round(statistics.mean(xs) * 1e3, 2),
+            "stdev_ms": round(statistics.stdev(xs) * 1e3, 2),
+            "n": len(xs)}
+    return out
 
 
 def _burst(url, k):
@@ -81,7 +98,9 @@ def _burst(url, k):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--n", default=30, type=int, help="requests per arm")
+    ap.add_argument("--n", default=100, type=int,
+                    help="requests per arm (interleaved; >= 2 because the "
+                         "warmup sample per arm is dropped)")
     ap.add_argument("--gap_ms", default=60.0, type=float,
                     help="gap between sporadic requests (>> max_wait)")
     ap.add_argument("--max_wait_ms", default=5.0, type=float)
@@ -92,6 +111,8 @@ def main():
                     help="force the CPU backend")
     ap.add_argument("--out", default="HTTP_LATENCY_AB.json")
     args = ap.parse_args()
+    if args.n < 2:
+        ap.error("--n must be >= 2 (the warmup sample per arm is dropped)")
 
     import jax
 
@@ -130,27 +151,36 @@ def main():
     tok = load_tokenizer("nonexistent-tiny",
                          vocab_size=cfg.text_config().vocab_size)
 
-    results = {}
-    for mode, probe_ms in (("adaptive", None),
-                           ("fixed", args.max_wait_ms)):
-        svc = InferenceService(pred, tok, raw_uint8=True,
-                               max_wait_ms=args.max_wait_ms,
-                               probe_ms=probe_ms)
-        httpd = make_server(svc, "127.0.0.1", 0)
-        t = threading.Thread(target=httpd.serve_forever, daemon=True)
-        t.start()
-        url = f"http://127.0.0.1:{httpd.server_address[1]}"
-        try:
-            results[mode] = _measure(url, args.n, args.gap_ms / 1e3)
-            if mode == "adaptive":
-                # coalescing sanity: 8 concurrent requests must not take
-                # 8 solo flushes even with the probe on
-                flushes = _burst(url, 8)
-                results["burst8_flushes_adaptive"] = flushes
-        finally:
+    # both arms live simultaneously on the same predictor, requests
+    # interleaved one-by-one — within-session drift cancels in the delta
+    arms = {}
+    try:
+        for mode, probe_ms in (("adaptive", None),
+                               ("fixed", args.max_wait_ms)):
+            svc = InferenceService(pred, tok, raw_uint8=True,
+                                   max_wait_ms=args.max_wait_ms,
+                                   probe_ms=probe_ms)
+            httpd = make_server(svc, "127.0.0.1", 0)
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            arms[mode] = (svc, httpd,
+                          f"http://127.0.0.1:{httpd.server_address[1]}")
+        results = _measure_interleaved(
+            {m: u for m, (_, _, u) in arms.items()}, args.n,
+            args.gap_ms / 1e3)
+        for mode in results:
+            print(f"{mode:>8}: {results[mode]}", flush=True)
+        # coalescing check: 8 concurrent requests must share flushes even
+        # with the probe on — ASSERTED, not just recorded (round-4 advice:
+        # a coalescing regression to 8 solo flushes must fail this tool)
+        flushes = _burst(arms["adaptive"][2], 8)
+        assert flushes <= 2, (
+            f"adaptive probe broke coalescing: 8 concurrent requests took "
+            f"{flushes} flushes (expected <= 2)")
+        results["burst8_flushes_adaptive"] = flushes
+    finally:
+        for svc, httpd, _ in arms.values():
             httpd.shutdown()
             svc.close()
-        print(f"{mode:>8}: {results[mode]}", flush=True)
 
     delta = results["fixed"]["p50_ms"] - results["adaptive"]["p50_ms"]
     payload = {
