@@ -43,6 +43,24 @@ def _one_request(url, body, i):
     return time.perf_counter() - t0
 
 
+def _http_warm(url, attempts=40, retry_s=15.0):
+    """One throwaway request per arm BEFORE timing. A cold TPU compile at
+    request time can exceed the service's 30 s result timeout (HTTP 500
+    TimeoutError) while the compile keeps running in the batcher thread —
+    retry until the program is hot instead of failing the A/B."""
+    body = json.dumps({"text": "warmup"}).encode()
+    for a in range(attempts):
+        try:
+            _one_request(url, body, -1)
+            return
+        except AssertionError as e:
+            if "TimeoutError" not in str(e) or a == attempts - 1:
+                raise
+            print(f"warm {url}: server still compiling "
+                  f"(attempt {a + 1}), retrying in {retry_s:.0f}s", flush=True)
+            time.sleep(retry_s)
+
+
 def _measure_interleaved(urls, n, gap_s):
     """Sporadic single requests, the arms INTERLEAVED request-by-request
     (A,B,A,B,...) so any within-session drift affects both arms equally.
@@ -164,6 +182,8 @@ def main():
             threading.Thread(target=httpd.serve_forever, daemon=True).start()
             arms[mode] = (svc, httpd,
                           f"http://127.0.0.1:{httpd.server_address[1]}")
+        for _, _, url in arms.values():
+            _http_warm(url)
         results = _measure_interleaved(
             {m: u for m, (_, _, u) in arms.items()}, args.n,
             args.gap_ms / 1e3)
