@@ -434,5 +434,15 @@ def main(argv=None) -> None:
         trainer.train()
 
 
+def console_main(argv=None) -> int:
+    """Console-script entry (pyproject `d2r-train`). ``main`` returns the
+    dry-run report dict for in-process callers (tests, notebooks); the
+    setuptools wrapper does ``sys.exit(main())``, which turns any non-None
+    return into exit code 1 — discard it here. Caught by
+    tools/package_smoke.py."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()
