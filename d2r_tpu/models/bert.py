@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from d2r_tpu.config import TextEncoderConfig
@@ -76,6 +77,18 @@ class BertEmbeddings(nn.Module):
                 "known: 'absolute', 'roberta'")
         words = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings",
                          dtype=self.dtype)(input_ids)
+        if c.pad_token_id is not None:
+            # torch nn.Embedding(padding_idx=pad) ZEROES d loss/d table[pad]
+            # — the reference's PAD embedding row never trains
+            # (ref: models/modeling_unimo.py:277), even though pad
+            # activations still reach the loss through the Router's
+            # pad-pooling quirk. The lookup at an id==pad position depends
+            # only on that table row, so stopping the gradient at exactly
+            # those positions makes the same cut: table-row-pad grads die,
+            # downstream grads are untouched. (Position/token-type tables
+            # have no padding_idx in the reference.)
+            is_pad = (input_ids == c.pad_token_id)[..., None]
+            words = jnp.where(is_pad, jax.lax.stop_gradient(words), words)
         positions = nn.Embed(c.max_position_embeddings, c.hidden_size,
                              name="position_embeddings", dtype=self.dtype)(
             position_ids)
