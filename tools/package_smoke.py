@@ -8,9 +8,10 @@ outside the checkout. This tool:
 
   1. builds the wheel (`pip wheel . --no-deps --no-build-isolation` —
      offline-safe: no index access, setuptools already installed),
-  2. creates a CLEAN venv (--system-site-packages so the heavyweight deps
-     jax/flax/optax/orbax resolve without network; the package under test
-     is still ONLY the wheel, installed --no-index --no-deps),
+  2. creates a CLEAN venv (heavyweight deps jax/flax/optax/orbax resolve
+     via a .pth bridge to the parent interpreter's site-packages — no
+     network; the package under test is still ONLY the wheel, installed
+     --no-index --no-deps --force-reinstall),
   3. from a NON-repo cwd with the repo stripped from PYTHONPATH:
      - imports d2r_tpu and asserts it resolves inside the venv,
      - loads the bundled SenticNet lexicon by its package-data default path,
@@ -33,25 +34,36 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _clean_env(venv_bin: str) -> dict:
-    """Env for in-venv runs: repo stripped from PYTHONPATH/cwd so imports
-    can only resolve from the installed wheel; CPU forced (the axon plugin
-    overrides JAX_PLATFORMS, but d2r-train --device cpu pins it via
-    jax.config, and plain python runs get the config flag inline)."""
+def _repo_stripped_env() -> dict:
+    """os.environ with the repo removed from PYTHONPATH. Callers (the
+    release gate, pytest wrappers) export PYTHONPATH=<repo>:... — with the
+    repo's d2r_tpu.egg-info visible on sys.path, pip decides the wheel is
+    'already installed with the same version' and SKIPS the install, so
+    every step here must run without the repo on the path."""
     env = dict(os.environ)
-    env["PATH"] = venv_bin + os.pathsep + env.get("PATH", "")
     parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
              if p and os.path.abspath(p) != REPO]
     if parts:
         env["PYTHONPATH"] = os.pathsep.join(parts)
     else:
         env.pop("PYTHONPATH", None)
+    return env
+
+
+def _clean_env(venv_bin: str) -> dict:
+    """Env for in-venv runs: repo stripped from PYTHONPATH/cwd so imports
+    can only resolve from the installed wheel; CPU forced (the axon plugin
+    overrides JAX_PLATFORMS, but d2r-train --device cpu pins it via
+    jax.config, and plain python runs get the config flag inline)."""
+    env = _repo_stripped_env()
+    env["PATH"] = venv_bin + os.pathsep + env.get("PATH", "")
     env.pop("JAX_PLATFORMS", None)
     return env
 
 
 def run(out_path: str | None, timeout_s: int = 1500) -> dict:
     report = {"pass": False, "stages": {}}
+    base_env = _repo_stripped_env()
     with tempfile.TemporaryDirectory(prefix="d2r_pkg_smoke_") as td:
         dist = os.path.join(td, "dist")
 
@@ -59,7 +71,8 @@ def run(out_path: str | None, timeout_s: int = 1500) -> dict:
         p = subprocess.run(
             [sys.executable, "-m", "pip", "wheel", ".", "--no-deps",
              "--no-build-isolation", "--no-index", "-w", dist],
-            cwd=REPO, capture_output=True, text=True, timeout=timeout_s)
+            cwd=REPO, env=base_env, capture_output=True, text=True,
+            timeout=timeout_s)
         report["stages"]["wheel"] = {"rc": p.returncode,
                                      "tail": p.stdout[-500:] + p.stderr[-500:]}
         if p.returncode != 0:
@@ -75,7 +88,8 @@ def run(out_path: str | None, timeout_s: int = 1500) -> dict:
         venv = os.path.join(td, "venv")
         p = subprocess.run([sys.executable, "-m", "venv",
                             "--without-pip", venv],
-                           capture_output=True, text=True, timeout=300)
+                           env=base_env, capture_output=True, text=True,
+                           timeout=300)
         report["stages"]["venv"] = {"rc": p.returncode,
                                     "tail": p.stderr[-500:]}
         if p.returncode != 0:
@@ -98,8 +112,8 @@ def run(out_path: str | None, timeout_s: int = 1500) -> dict:
         # ensurepip network/bootstrap dependency
         p = subprocess.run(
             [sys.executable, "-m", "pip", "--python", vpy, "install",
-             "--no-index", "--no-deps", wheel],
-            capture_output=True, text=True, timeout=600)
+             "--no-index", "--no-deps", "--force-reinstall", wheel],
+            env=base_env, capture_output=True, text=True, timeout=600)
         report["stages"]["install"] = {"rc": p.returncode,
                                        "tail": p.stdout[-500:] + p.stderr[-500:]}
         if p.returncode != 0:
